@@ -1,0 +1,205 @@
+package graft.core.html
+
+/** Streaming HTML tokenizer — hand-written, zero dependencies (no jsoup in
+  * this sandbox and the north rule wants a from-scratch tokenizer anyway).
+  *
+  * Emits a flat token stream (StartTag / EndTag / Text / Comment); the block
+  * segmenter consumes it without ever materializing a DOM tree. Handles the
+  * messy-web cases the fixtures pin: unclosed tags, attributes with/without
+  * quotes, CDATA-ish script/style raw text, character/entity references,
+  * and invalid UTF-8 (decoded with U+FFFD replacement — fixed policy per
+  * SURVEY.md §7.6).
+  */
+object HtmlTokenizer {
+  sealed trait Token
+  final case class StartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean) extends Token
+  final case class EndTag(name: String) extends Token
+  /** Raw text with entities already decoded. */
+  final case class Text(text: String) extends Token
+
+  /** Elements whose content is raw text (no nested markup). */
+  private val rawTextTags = Set("script", "style", "noscript", "textarea", "title")
+
+  /** Decode bytes as UTF-8 with U+FFFD replacement (deterministic policy). */
+  def decodeUtf8(bytes: Array[Byte]): String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+  }
+
+  /** Minimal, fixed entity table (deterministic; covers the generator's
+    * alphabet plus the common web set) + numeric references.
+    */
+  private val entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "trade" -> "™", "deg" -> "°",
+    "plusmn" -> "±", "times" -> "×", "divide" -> "÷",
+    "euro" -> "€", "pound" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "sect" -> "§", "para" -> "¶",
+    "middot" -> "·", "laquo" -> "«", "raquo" -> "»",
+    "bull" -> "•", "dagger" -> "†", "permil" -> "‰",
+    "prime" -> "′", "Prime" -> "″", "frasl" -> "⁄",
+    "minus" -> "−", "lowast" -> "∗", "sim" -> "∼",
+    "ne" -> "≠", "le" -> "≤", "ge" -> "≥",
+    "larr" -> "←", "uarr" -> "↑", "rarr" -> "→",
+    "darr" -> "↓", "harr" -> "↔",
+  )
+
+  /** Decode &name;, &#nnn;, &#xhhh; references in `s`. Unknown names pass
+    * through verbatim (browser-like leniency, deterministic).
+    */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          if (body.startsWith("#x") || body.startsWith("#X")) {
+            try {
+              val cp = Integer.parseInt(body.substring(2), 16)
+              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+              else { sb.append(c); i += 1 }
+            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else if (body.startsWith("#")) {
+            try {
+              val cp = Integer.parseInt(body.substring(1))
+              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
+              else { sb.append(c); i += 1 }
+            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+          } else entities.get(body) match {
+            case Some(rep) => sb.append(rep); i = semi + 1
+            case None      => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Case-insensitive indexOf without allocating a lowercased copy. */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length; val m = needle.length
+    var i = math.max(0, from)
+    while (i <= n - m) {
+      var j = 0
+      while (j < m && Character.toLowerCase(hay.charAt(i + j)) == Character.toLowerCase(needle.charAt(j))) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
+
+  /** Tokenize an HTML string into a flat token stream. Single pass, O(n). */
+  def tokenize(html: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    val n = html.length
+    var i = 0
+    var textStart = 0
+
+    def flushText(until: Int): Unit =
+      if (until > textStart) out += Text(decodeEntities(html.substring(textStart, until)))
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val next = html.charAt(i + 1)
+        if (next == '!') {
+          // comment, doctype, or CDATA — skipped entirely
+          flushText(i)
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', i)
+            i = if (end < 0) n else end + 1
+          }
+          textStart = i
+        } else if (next == '?') { // processing instruction
+          flushText(i)
+          val end = html.indexOf('>', i)
+          i = if (end < 0) n else end + 1
+          textStart = i
+        } else if (next == '/' || next.isLetter) {
+          flushText(i)
+          val isEnd = next == '/'
+          var j = if (isEnd) i + 2 else i + 1
+          val nameStart = j
+          while (j < n && isNameChar(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          if (name.isEmpty) { // lone '<' — treat as text
+            i += 1
+          } else {
+            // scan attributes up to '>'
+            val attrs = List.newBuilder[(String, String)]
+            var selfClosing = false
+            var done = false
+            while (!done && j < n) {
+              while (j < n && html.charAt(j).isWhitespace) j += 1
+              if (j < n && html.charAt(j) == '>') { done = true; j += 1 }
+              else if (j + 1 < n && html.charAt(j) == '/' && html.charAt(j + 1) == '>') {
+                selfClosing = true; done = true; j += 2
+              } else if (j < n) {
+                val aStart = j
+                while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+                val aName = html.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
+                var aVal = ""
+                while (j < n && html.charAt(j).isWhitespace) j += 1
+                if (j < n && html.charAt(j) == '=') {
+                  j += 1
+                  while (j < n && html.charAt(j).isWhitespace) j += 1
+                  if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                    val q = html.charAt(j); j += 1
+                    val vStart = j
+                    while (j < n && html.charAt(j) != q) j += 1
+                    aVal = html.substring(vStart, math.min(j, n))
+                    if (j < n) j += 1
+                  } else {
+                    val vStart = j
+                    while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
+                    aVal = html.substring(vStart, j)
+                  }
+                }
+                if (aName.nonEmpty) attrs += (aName -> decodeEntities(aVal))
+                else j += 1 // stray char; make progress
+              }
+            }
+            i = j
+            textStart = i
+            if (isEnd) out += EndTag(name)
+            else {
+              out += StartTag(name, attrs.result(), selfClosing)
+              // raw-text elements: consume content without tokenizing markup
+              if (!selfClosing && rawTextTags.contains(name)) {
+                val end = indexOfIgnoreCase(html, "</" + name, i)
+                if (end >= 0) {
+                  if (end > i) out += Text(html.substring(i, end)) // raw, no entity decode
+                  val gt = html.indexOf('>', end)
+                  out += EndTag(name)
+                  i = if (gt < 0) n else gt + 1
+                } else {
+                  if (n > i) out += Text(html.substring(i, n))
+                  i = n
+                }
+                textStart = i
+              }
+            }
+          }
+        } else { i += 1 } // '<' followed by junk — literal text
+      } else i += 1
+    }
+    flushText(n)
+    out.result()
+  }
+}

@@ -1,0 +1,287 @@
+package graft.core.pdf
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** Hand-written minimal PDF text extractor (no PDFBox in this sandbox —
+  * SURVEY.md environment facts). Covers the subset our fixture generator
+  * emits plus ordinary simple PDFs: linear object scan (`N G obj …
+  * endobj`), `/FlateDecode` streams via `java.util.zip.Inflater`,
+  * `BT/ET` text objects with `Td/TD/Tm/T*` positioning and `Tj/TJ/'/"`
+  * show ops, literal `(...)` strings with escapes and `<...>` hex strings.
+  *
+  * Layout model: each shown string lands at the current text-space (x, y);
+  * strings sharing a y (±2 units) form a line; lines are emitted top-to-
+  * bottom (descending y), words left-to-right (ascending x), joined with a
+  * single space; pages joined with '\n'. This mirrors the role of the
+  * reference's pdfplumber scan (invoice_processor.py:234-252) without
+  * porting it.
+  */
+object PdfTextExtractor {
+
+  final case class Placed(x: Double, y: Double, text: String)
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  /** Extract all text, pages separated by '\n'. Returns "" on any parse
+    * failure (mirrors the reference's catch-and-empty policy,
+    * invoice_processor.py:250-252).
+    */
+  def extract(bytes: Array[Byte]): String =
+    try {
+      val streams = contentStreams(bytes)
+      val pages = streams.map(extractFromContent)
+      pages.filter(_.nonEmpty).mkString("\n")
+    } catch { case _: Throwable => "" }
+
+  /** All decoded stream payloads that contain a BT text object, in document
+    * order (object order == page order for our corpus).
+    */
+  private def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = ArrayBuffer.empty[Array[Byte]]
+    val n = bytes.length
+    var i = 0
+    while (i < n) {
+      val s = indexOf(bytes, "stream", i)
+      if (s < 0) { i = n }
+      else {
+        // the dict immediately precedes; look back for FlateDecode marker
+        val dictStart = math.max(0, lastIndexOf(bytes, "<<", s))
+        val dict = new String(bytes, dictStart, s - dictStart, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var ds = s + "stream".length
+        if (ds < n && bytes(ds) == '\r') ds += 1
+        if (ds < n && bytes(ds) == '\n') ds += 1
+        val e = indexOf(bytes, "endstream", ds)
+        val end = if (e < 0) n else e
+        // slice by /Length when present — trailing-EOL trimming would eat
+        // deflate checksum bytes that happen to be 0x0A/0x0D
+        val lenM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)").matcher(dict)
+        val payloadEnd =
+          if (lenM.find()) math.min(end, ds + lenM.group(1).toInt)
+          else trimEol(bytes, ds, end)
+        var payload = java.util.Arrays.copyOfRange(bytes, ds, payloadEnd)
+        if (dict.contains("FlateDecode")) payload = inflate(payload)
+        if (indexOf(payload, "BT", 0) >= 0) out += payload
+        i = end + "endstream".length
+      }
+    }
+    out.toSeq
+  }
+
+  private def trimEol(bytes: Array[Byte], start: Int, end: Int): Int = {
+    var e = end
+    while (e > start && (bytes(e - 1) == '\n' || bytes(e - 1) == '\r')) e -= 1
+    e
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val buf = new java.io.ByteArrayOutputStream(data.length * 4)
+    val tmp = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val k = inf.inflate(tmp)
+      if (k == 0 && !inf.finished()) return buf.toByteArray
+      buf.write(tmp, 0, k)
+    }
+    inf.end()
+    buf.toByteArray
+  }
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val nb = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.max(0, from)
+    val limit = hay.length - nb.length
+    while (i <= limit) {
+      var j = 0
+      while (j < nb.length && hay(i + j) == nb(j)) j += 1
+      if (j == nb.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def lastIndexOf(hay: Array[Byte], needle: String, before: Int): Int = {
+    val nb = needle.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    var i = math.min(before, hay.length) - nb.length
+    while (i >= 0) {
+      var j = 0
+      while (j < nb.length && hay(i + j) == nb(j)) j += 1
+      if (j == nb.length) return i
+      i -= 1
+    }
+    -1
+  }
+
+  /** Parse one content stream: tokenizes operands/operators and tracks the
+    * text cursor through BT/ET blocks.
+    */
+  def extractFromContent(content: Array[Byte]): String = {
+    val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val placed = ArrayBuffer.empty[Placed]
+    var x = 0.0; var y = 0.0        // current text position
+    var lineX = 0.0; var lineY = 0.0 // start-of-line position
+    var leading = 12.0
+    var inText = false
+    val operands = ArrayBuffer.empty[Any]
+    var i = 0
+    val n = s.length
+
+    def num(a: Any): Double = a match {
+      case d: Double => d
+      case _ => 0.0
+    }
+
+    def show(str: String): Unit = {
+      if (str.nonEmpty) placed += Placed(x, y, str)
+      x += str.length * 6.0 // nominal advance; only relative order matters
+    }
+
+    def newline(): Unit = { lineY -= leading; x = lineX; y = lineY }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') { while (i < n && s.charAt(i) != '\n') i += 1 }
+      else if (c == '(') { // literal string
+        val sb = new java.lang.StringBuilder
+        var depth = 1; i += 1
+        while (i < n && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            val e = s.charAt(i + 1)
+            e match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case '(' => sb.append('('); i += 2
+              case ')' => sb.append(')'); i += 2
+              case '\\' => sb.append('\\'); i += 2
+              case d if d >= '0' && d <= '7' =>
+                var k = i + 1; var v = 0; var cnt = 0
+                while (k < n && cnt < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') { v = v * 8 + (s.charAt(k) - '0'); k += 1; cnt += 1 }
+                sb.append(v.toChar); i = k
+              case _ => sb.append(e); i += 2
+            }
+          } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }
+          else if (ch == ')') { depth -= 1; if (depth > 0) sb.append(ch); i += 1 }
+          else { sb.append(ch); i += 1 }
+        }
+        operands += sb.toString
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
+        val e = s.indexOf('>', i + 1)
+        val hex = s.substring(i + 1, if (e < 0) n else e).filterNot(_.isWhitespace)
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        while (k + 1 < padded.length + 1 && k + 2 <= padded.length) {
+          sb.append(Integer.parseInt(padded.substring(k, k + 2), 16).toChar); k += 2
+        }
+        operands += sb.toString
+        i = if (e < 0) n else e + 1
+      } else if (c == '<') { // dict <<…>> (inline image / marked content) — skip to matching >>
+        var depth = 0
+        var done = false
+        while (i < n && !done) {
+          if (i + 1 < n && s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+          else if (i + 1 < n && s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+            depth -= 1; i += 2
+            if (depth <= 0) done = true
+          } else i += 1
+        }
+      } else if (c == '[') { operands += "["; i += 1 }
+      else if (c == ']') { // fold array items above the "[" marker
+        val items = ArrayBuffer.empty[Any]
+        var done = false
+        while (operands.nonEmpty && !done) {
+          operands.remove(operands.length - 1) match {
+            case "[" => done = true
+            case v => items.insert(0, v)
+          }
+        }
+        operands += items.toList
+        i += 1
+      } else if (c == '/') { // name
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0) j += 1
+        operands += ("/" + s.substring(i + 1, j)); i = j
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) { // number
+        var j = i + 1
+        while (j < n && (s.charAt(j).isDigit || s.charAt(j) == '.' || s.charAt(j) == '-' || s.charAt(j) == '+')) j += 1
+        operands += (try s.substring(i, j).toDouble catch { case _: NumberFormatException => 0.0 })
+        i = j
+      } else { // operator
+        var j = i
+        while (j < n && !s.charAt(j).isWhitespace && "()<>[]{}/%".indexOf(s.charAt(j)) < 0 && !s.charAt(j).isDigit) j += 1
+        if (j == i) { i += 1 }
+        else {
+          val op = s.substring(i, j)
+          op match {
+            case "BT" => inText = true; x = 0; y = 0; lineX = 0; lineY = 0
+            case "ET" => inText = false
+            case "Td" if operands.length >= 2 =>
+              lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
+              x = lineX; y = lineY
+            case "TD" if operands.length >= 2 =>
+              leading = -num(operands.last)
+              lineX += num(operands(operands.length - 2)); lineY += num(operands.last)
+              x = lineX; y = lineY
+            case "Tm" if operands.length >= 6 =>
+              lineX = num(operands(operands.length - 2)); lineY = num(operands.last)
+              x = lineX; y = lineY
+            case "T*" => newline()
+            case "TL" if operands.nonEmpty => leading = num(operands.last)
+            case "Tj" if operands.nonEmpty && inText =>
+              operands.last match { case str: String => show(str); case _ => () }
+            case "'" if operands.nonEmpty && inText =>
+              newline()
+              operands.last match { case str: String => show(str); case _ => () }
+            case "\"" if operands.nonEmpty && inText =>
+              newline()
+              operands.last match { case str: String => show(str); case _ => () }
+            case "TJ" if operands.nonEmpty && inText =>
+              operands.last match {
+                case items: List[_] =>
+                  // one text run: segments concatenate (kern numbers only
+                  // shift x; a large negative kern is still intra-run)
+                  val sb = new java.lang.StringBuilder
+                  items.foreach {
+                    case str: String => sb.append(str)
+                    case _ => ()
+                  }
+                  show(sb.toString)
+                case _ => ()
+              }
+            case _ => ()
+          }
+          operands.clear()
+          i = j
+        }
+      }
+    }
+    extractPlacedText(placed)
+  }
+
+  private def extractPlacedText(placed: ArrayBuffer[Placed]): String = {
+    if (placed.isEmpty) return ""
+    // group into lines by y (tolerance 2 units), top-to-bottom
+    val sorted = placed.sortBy(p => (-p.y, p.x))
+    val sb = new java.lang.StringBuilder
+    var curY = Double.NaN
+    var firstLine = true
+    var firstOnLine = true
+    sorted.foreach { p =>
+      if (curY.isNaN || math.abs(p.y - curY) > 2.0) {
+        if (!firstLine) sb.append('\n')
+        curY = p.y; firstLine = false; firstOnLine = true
+      }
+      if (!firstOnLine) sb.append(' ')
+      sb.append(p.text)
+      firstOnLine = false
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Per-partition lineage row (SURVEY.md §7.5 / FIXTURES.md §3). */
+final case class LineageRow(
+    run_id: String,
+    snapshot_id: String,
+    partition_id: Int,
+    input_rows: Long,
+    ok_rows: Long,
+    fail_rows: Long,
+    bytes_in: Long,
+    ms: Long,
+    status: String)
+
+/** The resumable extraction job: Iceberg-snapshot semantics emulated over
+  * partitioned Parquet + an append-only JSONL manifest (no Iceberg jar in
+  * this sandbox — SURVEY.md environment facts).
+  *
+  * Layout:
+  *   out/data/part_bucket=<b>/…parquet   — hidden-partitioning emulation of
+  *                                         Iceberg `bucket(url)`
+  *   out/_manifest/manifest.jsonl        — one line per committed snapshot,
+  *                                         listing bucket ids + lineage
+  *
+  * Commit protocol: buckets are processed in snapshot groups; each group's
+  * parquet append completes BEFORE its manifest line is written, so a kill
+  * between the two at worst reprocesses one group (append of the same
+  * deterministic rows into a bucket it then overwrites is avoided by
+  * re-writing the whole group with dynamic partition overwrite). Resume
+  * reads the manifest and anti-joins committed buckets (J3).
+  */
+object ExtractPipeline {
+
+  /** Page + its hidden-partition bucket (pmod(xxhash64(url), B)). */
+  final case class BucketedPage(
+      url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
+      text: String, lang: String, part_bucket: Int)
+
+  def committedBuckets(outDir: String): Set[Int] = {
+    val mf = Paths.get(outDir, "_manifest", "manifest.jsonl")
+    if (!Files.exists(mf)) Set.empty
+    else Files.readAllLines(mf).asScala.flatMap { line =>
+      // minimal parse: "buckets":[1,2,3]
+      val m = java.util.regex.Pattern.compile("\"buckets\":\\[([0-9,]*)\\]").matcher(line)
+      if (m.find() && m.group(1).nonEmpty) m.group(1).split(",").map(_.toInt).toSeq else Seq.empty
+    }.toSet
+  }
+
+  private def appendManifest(outDir: String, runId: String, snapshotId: String,
+      buckets: Seq[Int], lineage: Seq[LineageRow]): Unit = {
+    val dir = Paths.get(outDir, "_manifest")
+    Files.createDirectories(dir)
+    val lineageJson = lineage.map(l =>
+      s"""{"partition_id":${l.partition_id},"input_rows":${l.input_rows},"ok_rows":${l.ok_rows},"fail_rows":${l.fail_rows},"bytes_in":${l.bytes_in},"ms":${l.ms},"status":"${l.status}"}""")
+      .mkString("[", ",", "]")
+    val line = s"""{"run_id":"$runId","snapshot_id":"$snapshotId","buckets":[${buckets.mkString(",")}],"lineage":$lineageJson}""" + "\n"
+    Files.write(dir.resolve("manifest.jsonl"), line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** Run (or resume) the extraction job.
+    *
+    * @param numBuckets  hidden-partition bucket count (stands in for Iceberg
+    *                    bucket(url); sized so one bucket ≪ executor memory
+    *                    at the target SF)
+    * @param snapshotGroups how many commit points (snapshots) a full run has
+    * @return lineage rows of THIS run (committed work from prior runs is
+    *         not re-reported)
+    */
+  def run(spark: SparkSession, pages: Dataset[Page], outDir: String,
+      numBuckets: Int = 32, snapshotGroups: Int = 4,
+      runId: String = "run"): Seq[LineageRow] = {
+    import spark.implicits._
+
+    val done = committedBuckets(outDir)
+    val remaining = (0 until numBuckets).filterNot(done)
+    if (remaining.isEmpty) return Seq.empty
+
+    // dynamic partition overwrite: re-running a torn group replaces exactly
+    // its buckets, never clobbering committed ones
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val bucketed = pages
+      .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+
+    val groups = remaining.grouped(math.max(1, (numBuckets + snapshotGroups - 1) / snapshotGroups)).toSeq
+    val allLineage = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
+
+    groups.zipWithIndex.foreach { case (buckets, gi) =>
+      val snapshotId = f"snap-$runId-$gi%03d"
+      val metricsAcc = spark.sparkContext.collectionAccumulator[LineageRow](s"lineage-$snapshotId")
+      val slice = bucketed.filter(col("part_bucket").isin(buckets.map(Integer.valueOf): _*))
+        // co-locate each bucket in one task: the shuffle key IS the hidden
+        // partition, so the parquet writer emits one file per bucket instead
+        // of numTasks×numBuckets fragments
+        .repartition(buckets.length, col("part_bucket"))
+
+      val extracted = slice.as[BucketedPage]
+        .mapPartitions { it =>
+          val t0 = System.nanoTime()
+          var inRows = 0L; var ok = 0L; var fail = 0L; var bytes = 0L
+          var reported = false
+          val out = it.map { bp =>
+            val ep = ExtractStage.processOne(Page(bp.url, bp.warc_ts, bp.html, bp.text, bp.lang))
+            inRows += 1
+            if (ep.success) ok += 1 else fail += 1
+            bytes += (if (bp.html == null) 0 else bp.html.length)
+            ep
+          }
+          new Iterator[ExtractedPage] {
+            def hasNext: Boolean = {
+              val h = out.hasNext
+              if (!h && !reported) {
+                reported = true
+                metricsAcc.add(LineageRow(runId, snapshotId,
+                  org.apache.spark.TaskContext.getPartitionId(), inRows, ok, fail,
+                  bytes, (System.nanoTime() - t0) / 1000000, "committed"))
+              }
+              h
+            }
+            def next(): ExtractedPage = out.next()
+          }
+        }
+
+      extracted
+        .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("part_bucket")
+        .parquet(s"$outDir/data")
+
+      val lineage = metricsAcc.value.asScala.toSeq
+      appendManifest(outDir, runId, snapshotId, buckets, lineage)
+      allLineage ++= lineage
+    }
+    allLineage.toSeq
+  }
+
+  /** Read the committed output table. */
+  def readOutput(spark: SparkSession, outDir: String) =
+    spark.read.parquet(s"$outDir/data")
+}

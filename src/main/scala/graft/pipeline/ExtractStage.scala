@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import graft.core.ExtractCore
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** The extract stage: `Dataset[Page] → Dataset[ExtractedPage]` via
+  * `mapPartitions` (amortizes nothing today — the core is static and
+  * allocation-free to set up — but keeps the per-partition batching shape
+  * the 100 TB posture wants, and is where per-partition metrics hook in).
+  *
+  * Per-row try/catch inside the core (C4 isolation): data errors become
+  * `success=false` rows, never task failures.
+  */
+object ExtractStage {
+
+  def processOne(p: Page): ExtractedPage = {
+    val r = ExtractCore.processPage(p.html, p.text)
+    val rec = r.record
+    ExtractedPage(
+      url = p.url,
+      warc_ts = p.warc_ts,
+      lang = p.lang,
+      success = rec.success,
+      error = rec.error,
+      pattern_used = rec.patternUsed,
+      extracted_text = r.extractedText,
+      spans = r.spans.map(s => SpanRow(s.label, s.start, s.end)),
+      company_name = rec.companyName,
+      invoice_number = rec.invoiceNumber,
+      fssai_number = rec.fssaiNumber,
+      invoice_date = rec.invoiceDate,
+      products = rec.products.map(p => ProductRow(
+        p.goodsDescription, p.hsnSacCode, p.quantity, p.weight,
+        p.originalWeight, p.weightInKg, p.rate, p.amount)),
+      confidence = rec.confidence,
+      text_length = r.extractedText.length,
+      n_products = rec.products.length)
+  }
+
+  def run(pages: Dataset[Page]): Dataset[ExtractedPage] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions(_.map(processOne))
+  }
+
+  /** Generate the deterministic pages table as a Dataset (distributed: each
+    * row is a pure function of its index — no driver-side materialization).
+    */
+  def generatePages(spark: SparkSession, n: Long, seed: Long = PageGen.DefaultSeed,
+      partitions: Int = 32): Dataset[Page] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).map(i => PageGen.page(seed, i))
+  }
+}
