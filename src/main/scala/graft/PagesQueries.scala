@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction-pipeline queries over the deterministic synthetic pages table
+  * (FIXTURES.md §1). These exercise the non-SQL-expressible core (HTML
+  * boilerplate strip, PDF parse, field rules) — no DuckDB oracle; the
+  * driver records rows-only checks, and byte-level correctness is pinned
+  * by the golden-fixture suite (`sbt -batch test`).
+  */
+object PagesQueries {
+
+  /** Page count scales with the testdata SF so bench load tracks sf. */
+  private def pageCount(sfDir: String): Long =
+    if (sfDir.contains("0.1")) 4000L
+    else if (sfDir.contains("0.01")) 1000L
+    else 300L
+
+  // one extraction pass shared by all queries in a session
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def extracted(s: SparkSession, sfDir: String): DataFrame =
+    cache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+      val pages = graft.pipeline.ExtractStage.generatePages(s, pageCount(sfDir), partitions = 32)
+      graft.pipeline.ExtractStage.run(pages).toDF().persist()
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A4 — templates-used group-by (test_extraction.py:56-58 semantics)
+    "q50_extract_patterns" -> ((s, dir) =>
+      extracted(s, dir)
+        .groupBy(col("success"), col("pattern_used"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("text_length")), 2).as("avg_text_len"),
+          sum(col("n_products")).as("total_products"))),
+
+    // P4 — explode products with invoice-header broadcast onto each row
+    // (app.py:273-302: explode_outer reproduces the empty→one-row shape)
+    "q51_extract_products" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(col("url"), col("company_name"), col("invoice_number"),
+          col("invoice_date"), explode_outer(col("products")).as("p"))
+        .select(col("url"), col("company_name"), col("invoice_number"),
+          col("invoice_date"), col("p.goods_description"), col("p.quantity"),
+          col("p.weight"), col("p.weight_in_kg"), col("p.rate"), col("p.amount"))),
+
+    // A5 — per-field mean confidence via map explode
+    "q52_field_confidence" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(explode(col("confidence")).as(Seq("field", "score")))
+        .groupBy(col("field"))
+        .agg(round(avg(col("score")), 4).as("avg_confidence"), count(lit(1)).as("n"))),
+
+    // span generator: flatMap-shaped span emission + offset sanity profile
+    "q53_extract_spans" -> ((s, dir) =>
+      extracted(s, dir)
+        .select(col("url"), col("text_length"), explode(col("spans")).as("sp"))
+        .groupBy(col("sp.label").as("label"))
+        .agg(count(lit(1)).as("n_spans"),
+          round(avg(col("sp.end") - col("sp.start")), 2).as("avg_len"),
+          max(col("sp.end")).as("max_end"))),
+
+    // multimodal metadata: opaque binary payloads typed by magic sniff
+    // (decode itself is the extract stage; this is the metadata surface)
+    "q54_multimodal_meta" -> ((s, dir) => {
+      val pages = graft.pipeline.ExtractStage.generatePages(s, pageCount(dir), partitions = 32).toDF()
+      pages
+        .withColumn("payload_kind",
+          when(col("html").isNull || length(col("html")) === 0, "empty")
+            .when(expr("substring(html, 1, 5) = cast('%PDF-' AS BINARY)"), "pdf")
+            .otherwise("html"))
+        .groupBy(col("payload_kind"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("html"))).as("total_bytes"),
+          round(avg(length(col("html"))), 2).as("avg_bytes"))
+    }),
+
+    // host-skew profile: the salting driver (hot hosts found on a sample)
+    "q55_host_skew" -> ((s, dir) => {
+      val pages = graft.pipeline.ExtractStage.generatePages(s, pageCount(dir), partitions = 32).toDF()
+      pages
+        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .groupBy(col("host")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("host").asc)
+        .limit(10)
+    }))
+}

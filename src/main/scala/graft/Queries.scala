@@ -1,0 +1,576 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The SQL-expressible operator surface (SURVEY.md §2.2–2.8 mappings) plus
+  * the training-data-pipeline operators (dedup, similarity, text analysis).
+  *
+  * Every entry is a (DataFrame-API query, ANSI-SQL oracle) pair over the
+  * driver testdata; the oracle runs in DuckDB on the same parquet files, so
+  * both sides must agree on column NAMES and VALUES. Conventions for
+  * engine-agnostic determinism:
+  *   - every double aggregate is `round(x, 2..4)`;
+  *   - timestamps are projected through `date_format`/`strftime` strings;
+  *   - every top-k has a total tie-break order;
+  *   - float embeddings are cast to double before arithmetic.
+  */
+object Queries {
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------
+  // Relational surface
+  // ------------------------------------------------------------------
+
+  private val relational: List[Q] = List(
+
+    // A1/A3 — scan + global aggregate (one pass, no shuffle beyond final agg)
+    Q("q01_scan_agg",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price")),
+      Some("SELECT count(*) AS n, round(sum(l_quantity),2) AS sum_qty, " +
+        "round(avg(l_extendedprice),2) AS avg_price FROM lineitem")),
+
+    // A4 — hash aggregate with partial (map-side) combine
+    Q("q02_agg_groupby",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue")),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "round(sum(l_quantity),2) AS sum_qty, " +
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus")),
+
+    // P1/P2 — predicate + projection (pushed to the parquet scan)
+    Q("q03_filter_pushdown",
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_discount") > 0.05)
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total")),
+      Some("SELECT count(*) AS n, round(sum(l_extendedprice),2) AS total FROM lineitem " +
+        "WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05")),
+
+    // J2-at-scale — broadcast hash join (small dim side broadcast)
+    Q("q04_join_broadcast",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+        li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority")),
+
+    // multi-way join (Catalyst join reorder) over the star schema
+    Q("q05_join_multi",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val n = t(s, dir, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name")),
+
+    // J1 — retry-merge: left-anti + unionByName (app.py:134-142 semantics)
+    Q("q06_antijoin_union",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val retries = o.filter(col("o_totalprice") > 150000)
+        o.join(retries.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(retries)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice),2) AS total FROM (" +
+        "SELECT * FROM orders WHERE o_orderkey NOT IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_totalprice > 150000) " +
+        "UNION ALL SELECT * FROM orders WHERE o_totalprice > 150000" +
+        ") GROUP BY o_orderstatus")),
+
+    // W1 — month-over-month delta via lag (app.py:649-658 semantics)
+    Q("q07_window_lag",
+      (s, dir) => {
+        val m = t(s, dir, "orders")
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        val w = Window.orderBy(col("month"))
+        m.withColumn("prev_total", lag(col("total"), 1).over(w))
+          .withColumn("delta_pct",
+            round((col("total") - col("prev_total")) / col("prev_total") * 100, 2))
+      },
+      Some("WITH m AS (SELECT strftime(o_orderdate,'%Y-%m') AS month, count(*) AS n_orders, " +
+        "round(sum(o_totalprice),2) AS total FROM orders GROUP BY 1) " +
+        "SELECT month, n_orders, total, " +
+        "lag(total) OVER (ORDER BY month) AS prev_total, " +
+        "round((total - lag(total) OVER (ORDER BY month)) / lag(total) OVER (ORDER BY month) * 100, 2) AS delta_pct " +
+        "FROM m")),
+
+    // W2/T1 — top-k with total tie-break order
+    Q("q08_topk_users",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("n_events").desc, col("user_id").asc)
+        .limit(10),
+      Some("SELECT user_id, count(*) AS n_events, round(sum(value),2) AS total_value " +
+        "FROM events GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 10")),
+
+    // P4 — generator/explode (products-explode analog, app.py:273-302)
+    Q("q09_explode_words",
+      (s, dir) => t(s, dir, "part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 5),
+      Some("SELECT word, count(*) AS n FROM " +
+        "(SELECT unnest(string_split(p_name,' ')) AS word FROM part) " +
+        "GROUP BY word HAVING count(*) >= 5")),
+
+    // distinct aggregation
+    Q("q10_distinct",
+      (s, dir) => t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders")),
+      Some("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, " +
+        "count(DISTINCT l_orderkey) AS n_orders FROM lineitem")),
+
+    // F18 — when-chain bucketing (confidence buckets analog)
+    Q("q11_case_buckets",
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") >= 200000, "high")
+            .when(col("o_totalprice") >= 100000, "medium")
+            .when(col("o_totalprice") >= 50000, "low")
+            .otherwise("very_low"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n")),
+      Some("SELECT CASE WHEN o_totalprice >= 200000 THEN 'high' " +
+        "WHEN o_totalprice >= 100000 THEN 'medium' " +
+        "WHEN o_totalprice >= 50000 THEN 'low' ELSE 'very_low' END AS bucket, " +
+        "count(*) AS n FROM orders GROUP BY 1")),
+
+    // left-semi join (EXISTS)
+    Q("q12_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_active"))
+      },
+      Some("SELECT c_mktsegment, count(*) AS n_active FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment")),
+
+    // F7/F8 — regex scrub as a relational op
+    Q("q13_regex_scrub",
+      (s, dir) => t(s, dir, "customer")
+        .withColumn("id_digits", regexp_replace(col("c_name"), "[^0-9]", "").cast("long"))
+        .withColumn("shard", col("id_digits") % 7)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"), max(col("id_digits")).as("max_id")),
+      Some("SELECT (regexp_replace(c_name,'[^0-9]','','g')::BIGINT) % 7 AS shard, " +
+        "count(*) AS n, max(regexp_replace(c_name,'[^0-9]','','g')::BIGINT) AS max_id " +
+        "FROM customer GROUP BY 1")),
+
+    // date bucketing (days(warc_ts) partitioning analog)
+    Q("q14_date_trunc",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price")),
+      Some("SELECT strftime(o_orderdate,'%Y-%m') AS month, count(*) AS n, " +
+        "round(min(o_totalprice),2) AS min_price, round(max(o_totalprice),2) AS max_price " +
+        "FROM orders GROUP BY 1")),
+
+    // HAVING filter over aggregate
+    Q("q15_having",
+      (s, dir) => t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+        .filter(col("n") >= 10),
+      Some("SELECT p_brand, count(*) AS n, round(avg(p_retailprice),2) AS avg_price " +
+        "FROM part GROUP BY p_brand HAVING count(*) >= 10")),
+
+    // A8 — per-group min/max numeric profile
+    Q("q16_stats_profile",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(min(col("l_discount")), 2).as("min_disc"),
+          round(max(col("l_discount")), 2).as("max_disc")),
+      Some("SELECT l_returnflag, round(min(l_quantity),2) AS min_qty, " +
+        "round(max(l_quantity),2) AS max_qty, round(avg(l_quantity),2) AS avg_qty, " +
+        "round(min(l_discount),2) AS min_disc, round(max(l_discount),2) AS max_disc " +
+        "FROM lineitem GROUP BY l_returnflag")),
+
+    // A10 — weighted mean with JSON-extracted weight
+    Q("q17_weighted_mean",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("w", get_json_object(col("props"), "$.k").cast("int") + 1)
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("w")) / sum(col("w")), 2).as("weighted_avg"),
+          count(lit(1)).as("n")),
+      Some("SELECT event_type, " +
+        "round(sum(value * (json_extract_string(props,'$.k')::INT + 1)) / " +
+        "sum(json_extract_string(props,'$.k')::INT + 1), 2) AS weighted_avg, " +
+        "count(*) AS n FROM events GROUP BY event_type")),
+
+    // decorrelated aggregate subquery: orders above their segment average
+    Q("q18_subquery_avg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        val segAvg = joined.groupBy(col("c_mktsegment").as("seg"))
+          .agg(avg(col("o_totalprice")).as("seg_avg"))
+        joined.join(broadcast(segAvg), col("c_mktsegment") === col("seg"))
+          .filter(col("o_totalprice") > col("seg_avg"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_above"))
+      },
+      Some("WITH j AS (SELECT c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey=c_custkey), " +
+        "sa AS (SELECT c_mktsegment AS seg, avg(o_totalprice) AS seg_avg FROM j GROUP BY 1) " +
+        "SELECT c_mktsegment, count(*) AS n_above FROM j JOIN sa ON c_mktsegment = seg " +
+        "WHERE o_totalprice > seg_avg GROUP BY c_mktsegment")),
+
+    // set ops: parts never ordered (EXCEPT) and parts ordered (INTERSECT)
+    Q("q19_setops",
+      (s, dir) => {
+        val allParts = t(s, dir, "part").select(col("p_partkey").as("k"))
+        val used = t(s, dir, "lineitem").select(col("l_partkey").as("k")).distinct()
+        val never = allParts.except(used).agg(count(lit(1)).as("c")).withColumn("which", lit("never_ordered"))
+        val both = allParts.intersect(used).agg(count(lit(1)).as("c")).withColumn("which", lit("ordered"))
+        never.unionByName(both).select("which", "c")
+      },
+      Some("SELECT 'never_ordered' AS which, count(*) AS c FROM " +
+        "(SELECT p_partkey AS k FROM part EXCEPT SELECT DISTINCT l_partkey FROM lineitem) " +
+        "UNION ALL SELECT 'ordered' AS which, count(*) AS c FROM " +
+        "(SELECT p_partkey AS k FROM part INTERSECT SELECT DISTINCT l_partkey FROM lineitem)")),
+
+    // A2 — success-rate ratio (app.py:632-642 semantics)
+    Q("q20_success_rate",
+      (s, dir) => t(s, dir, "events").agg(
+        round(avg(when(col("event_type") === "error", 0.0).otherwise(1.0)) * 100, 2).as("success_rate"),
+        count(lit(1)).as("n")),
+      Some("SELECT round(avg(CASE WHEN event_type = 'error' THEN 0.0 ELSE 1.0 END) * 100, 2) " +
+        "AS success_rate, count(*) AS n FROM events")),
+
+    // tumbling time window over the event stream (batch form of the
+    // Structured Streaming windowed agg; SS itself is exercised in tests)
+    Q("q21_window_tumbling",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")),
+      Some("SELECT strftime(date_trunc('hour', ts),'%Y-%m-%d %H:%M:%S') AS hour, " +
+        "count(*) AS n, round(sum(value),2) AS total FROM events GROUP BY 1")),
+
+    // T1/W2 — newest-first listing with total order
+    Q("q22_recent_events",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+          col("event_type"), round(col("value"), 2).as("val"))
+        .orderBy(col("ts_str").desc, col("event_id").desc)
+        .limit(10),
+      Some("SELECT event_id, strftime(ts,'%Y-%m-%d %H:%M:%S') AS ts_str, event_type, " +
+        "round(value,2) AS val FROM events ORDER BY ts_str DESC, event_id DESC LIMIT 10")),
+
+    // grouping sets / rollup
+    Q("q23_rollup",
+      (s, dir) => t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"), col("n")),
+      Some("SELECT coalesce(o_orderstatus,'ALL') AS status, coalesce(o_orderpriority,'ALL') AS priority, " +
+        "count(*) AS n FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)")),
+
+    // full outer join with coalesce (J1 alternative form)
+    Q("q24_full_outer",
+      (s, dir) => {
+        val bySupp = t(s, dir, "lineitem").groupBy(col("l_suppkey").as("k"))
+          .agg(count(lit(1)).as("li_n"))
+        val supp = t(s, dir, "supplier").select(col("s_suppkey").as("k"), col("s_acctbal"))
+        supp.join(bySupp, Seq("k"), "full_outer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("li_n").isNull, 1).otherwise(0)).as("supp_only"),
+            sum(when(col("s_acctbal").isNull, 1).otherwise(0)).as("li_only"))
+      },
+      Some("SELECT count(*) AS n_rows, " +
+        "sum(CASE WHEN li_n IS NULL THEN 1 ELSE 0 END) AS supp_only, " +
+        "sum(CASE WHEN s_acctbal IS NULL THEN 1 ELSE 0 END) AS li_only FROM (" +
+        "SELECT s_acctbal, li_n FROM supplier FULL OUTER JOIN " +
+        "(SELECT l_suppkey AS k, count(*) AS li_n FROM lineitem GROUP BY 1) b ON s_suppkey = b.k)")),
+
+    // rank / dense_rank window functions
+    Q("q25_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        t(s, dir, "customer")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+      },
+      Some("SELECT c_mktsegment, rnk, c_custkey, round(c_acctbal,2) AS bal FROM (" +
+        "SELECT c_mktsegment, c_custkey, c_acctbal, row_number() OVER " +
+        "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk FROM customer) " +
+        "WHERE rnk <= 3")))
+
+  // ------------------------------------------------------------------
+  // Training-data-pipeline operators: dedup / similarity / text analysis
+  // ------------------------------------------------------------------
+
+  /** Documents unioned with a copy of themselves (ids offset) — the
+    * deterministic duplicate corpus the dedup operators run on.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
+  }
+  private val dupCorpusSql =
+    "(SELECT * FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)"
+
+  /** 16-bit simhash over words: bit j of first-4-hex of md5(word); per-doc
+    * sum of ±1 per bit; simhash = OR of positive bits. Both dialects
+    * generate their bit terms from the same loop so the formulas cannot
+    * drift.
+    */
+  private def simhashCompose: String =
+    (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+
+  private val trainingOps: List[Q] = List(
+
+    // exact dedup: hash-groupBy on content digest
+    Q("q30_dedup_exact",
+      (s, dir) => dupCorpus(s, dir)
+        .withColumn("h", md5(col("text").cast("binary")))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("c") > 1, 1).otherwise(0)).as("n_dup_groups"),
+          sum(col("c") - 1).as("n_redundant_rows")),
+      Some("SELECT count(*) AS n_groups, sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_dup_groups, " +
+        s"sum(c - 1) AS n_redundant_rows FROM (SELECT md5(text) AS h, count(*) AS c FROM $dupCorpusSql GROUP BY 1)")),
+
+    // n-gram Jaccard near-dup: 3-word shingles, pairwise within
+    // (lang, source) blocks — blocked pairwise join, the scalable shape
+    Q("q31_ngram_jaccard",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 3)
+          .withColumn("shingles", array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', element_at(w,i+1), element_at(w,i+2), element_at(w,i+3)))")))
+          .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+        val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"), col("shingles").as("sa"))
+        val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"), col("shingles").as("sb"))
+        a.join(b, Seq("lang", "source")).filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", round(
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))), 4))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("jaccard") >= 0.1, 1).otherwise(0)).as("n_near_dups"),
+            round(max(col("jaccard")), 4).as("max_jaccard"))
+      },
+      Some("WITH d AS (SELECT doc_id, lang, source, " +
+        "list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles " +
+        "FROM (SELECT doc_id, lang, source, string_split(text,' ') AS w FROM documents) WHERE len(w) >= 3) " +
+        "SELECT a.lang, count(*) AS n_pairs, " +
+        "sum(CASE WHEN round(len(list_intersect(a.shingles,b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles,b.shingles))), 4) >= 0.1 THEN 1 ELSE 0 END) AS n_near_dups, " +
+        "round(max(round(len(list_intersect(a.shingles,b.shingles))::DOUBLE / " +
+        "len(list_distinct(list_concat(a.shingles,b.shingles))), 4)), 4) AS max_jaccard " +
+        "FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id " +
+        "GROUP BY a.lang")),
+
+    // MinHash + LSH: 8-hash signature → 4 bands → bucket-join candidates
+    Q("q32_minhash_lsh",
+      (s, dir) => {
+        val d = dupCorpus(s, dir)
+          .withColumn("w", array_distinct(split(col("text"), " ")))
+        val withSig = (0 until 8).foldLeft(d) { (df, k) =>
+          df.withColumn(s"m$k", expr(
+            s"array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#$k')), 1, 8), 16, 10) AS BIGINT)))"))
+        }
+        val withBands = (0 until 4).foldLeft(withSig) { (df, b) =>
+          df.withColumn(s"band$b", md5(concat_ws("_",
+            col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))))
+        }
+        val bands = (0 until 4).map(b =>
+          withBands.select(lit(b).as("band_id"), col(s"band$b").as("band_val")))
+          .reduce(_ unionByName _)
+        bands.groupBy(col("band_id"), col("band_val")).agg(count(lit(1)).as("c"))
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_candidate_pairs"))
+      },
+      Some({
+        val sig = (0 until 8).map(k =>
+          s"list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#$k'), 1, 8))::BIGINT)) AS m$k").mkString(", ")
+        val bandSel = (0 until 4).map(b =>
+          s"SELECT $b AS band_id, md5(m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR) AS band_val FROM sig").mkString(" UNION ALL ")
+        s"WITH docs AS (SELECT list_distinct(string_split(text,' ')) AS w FROM $dupCorpusSql), " +
+          s"sig AS (SELECT $sig FROM docs), bands AS ($bandSel), " +
+          "buckets AS (SELECT band_id, band_val, count(*) AS c FROM bands GROUP BY 1,2) " +
+          "SELECT band_id, count(*) AS n_buckets, (sum(c*(c-1)/2))::BIGINT AS n_candidate_pairs " +
+          "FROM buckets GROUP BY band_id"
+      })),
+
+    // SimHash: 16-bit signature, collision profile (dialects generated
+    // from one loop — see simhashSparkExpr)
+    Q("q33_simhash",
+      (s, dir) => {
+        val words = dupCorpus(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
+          .withColumn("h", expr("cast(conv(substr(md5(x), 1, 4), 16, 10) AS INT)"))
+        val bitSums = (0 until 16).map(j =>
+          expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"s$j"))
+        val sums = words.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), expr(simhashCompose).as("simhash"))
+        sums.groupBy(col("simhash")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_distinct_simhash"),
+            sum(col("c") * (col("c") - 1) / 2).cast("long").as("n_collision_pairs"))
+      },
+      Some("WITH words AS (SELECT doc_id, ('0x' || substr(md5(x),1,4))::INT AS h FROM " +
+        s"(SELECT doc_id, unnest(string_split(text,' ')) AS x FROM $dupCorpusSql)), " +
+        s"sums AS (SELECT doc_id, ${(0 until 16).map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")} FROM words GROUP BY doc_id), " +
+        s"sh AS (SELECT doc_id, ${(0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS simhash FROM sums) " +
+        "SELECT count(*) AS n_distinct_simhash, (sum(c*(c-1)/2))::BIGINT AS n_collision_pairs FROM " +
+        "(SELECT simhash, count(*) AS c FROM sh GROUP BY 1)")),
+
+    // brute-force cosine top-k ANN (baseline path)
+    Q("q34_knn_brute",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        val pairs = q.crossJoin(cand).filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a,b) -> a*b), 0D, (acc,x) -> acc + x)"))
+          .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc,x) -> acc + x*x))"))
+          .withColumn("nn", expr("sqrt(aggregate(nv, 0D, (acc,x) -> acc + x*x))"))
+          .withColumn("cos", round(col("dot") / (col("nq") * col("nn")), 3))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+        pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      },
+      Some("WITH e AS (SELECT vec_id, i, v FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS v, " +
+        "generate_subscripts(embedding,1) AS i FROM embeddings)), " +
+        "pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "round(sum(a.v*b.v) / (sqrt(sum(a.v*a.v)) * sqrt(sum(b.v*b.v))), 3) AS cos " +
+        "FROM e a JOIN e b ON a.i = b.i WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT query_id, rnk, neighbor_id, cos FROM (SELECT query_id, neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
+        "WHERE rnk <= 5")),
+
+    // bucketed ANN (IVF-style): candidates restricted to the query's label
+    // bucket — the scale path (bucket join instead of cross join)
+    Q("q35_knn_bucketed",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"))
+        val cand = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("nv"))
+        val pairs = q.join(cand, Seq("label")).filter(col("query_id") =!= col("neighbor_id"))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(qv, nv, (a,b) -> a*b), 0D, (acc,x) -> acc + x)") /
+              (expr("sqrt(aggregate(qv, 0D, (acc,x) -> acc + x*x))") *
+                expr("sqrt(aggregate(nv, 0D, (acc,x) -> acc + x*x))")), 3))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+        pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select(col("query_id"), col("label"), col("rnk"), col("neighbor_id"), col("cos"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, i, v FROM (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v, " +
+        "generate_subscripts(embedding,1) AS i FROM embeddings)), " +
+        "pairs AS (SELECT a.vec_id AS query_id, a.label AS label, b.vec_id AS neighbor_id, " +
+        "round(sum(a.v*b.v) / (sqrt(sum(a.v*a.v)) * sqrt(sum(b.v*b.v))), 3) AS cos " +
+        "FROM e a JOIN e b ON a.i = b.i AND a.label = b.label " +
+        "WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id GROUP BY 1, 2, 3) " +
+        "SELECT query_id, label, rnk, neighbor_id, cos FROM (SELECT query_id, label, neighbor_id, cos, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
+        "WHERE rnk <= 3")),
+
+    // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
+    Q("q36_langid",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("pad", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("score_en",
+          (size(split(col("pad"), " the ")) - 1) + (size(split(col("pad"), " a ")) - 1))
+        .withColumn("guess", when(col("score_en") >= 2, "en").otherwise("unk"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n")),
+      Some("SELECT lang, CASE WHEN (len(string_split(pad,' the '))-1) + (len(string_split(pad,' a '))-1) >= 2 " +
+        "THEN 'en' ELSE 'unk' END AS guess, count(*) AS n FROM " +
+        "(SELECT lang, ' ' || text || ' ' AS pad FROM documents) GROUP BY 1, 2")),
+
+    // quality scoring: length / tokens / stopword-ratio per source
+    Q("q37_quality_score",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("stop_ratio",
+          (size(split(concat(lit(" "), col("text"), lit(" ")), " the ")) - 1).cast("double") / col("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 2).as("avg_chars"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          round(avg(col("stop_ratio")), 4).as("avg_stop_ratio")),
+      Some("SELECT source, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars, " +
+        "round(avg(len(string_split(text,' '))),2) AS avg_tokens, " +
+        "round(avg((len(string_split(' '||text||' ',' the '))-1)::DOUBLE / len(string_split(text,' '))),4) AS avg_stop_ratio " +
+        "FROM documents GROUP BY source")),
+
+    // token counting per lang (whitespace tokenizer)
+    Q("q38_token_count",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 2).as("avg_tokens"),
+          max(col("n_tokens")).as("max_tokens")),
+      Some("SELECT lang, sum(len(string_split(text,' '))) AS total_tokens, " +
+        "round(avg(len(string_split(text,' '))),2) AS avg_tokens, " +
+        "max(len(string_split(text,' '))) AS max_tokens FROM documents GROUP BY lang")),
+
+    // document fingerprinting: digest of normalized text over the dup corpus
+    Q("q39_fingerprint",
+      (s, dir) => dupCorpus(s, dir)
+        .withColumn("norm", regexp_replace(lower(col("text")), "[^a-z ]", ""))
+        .withColumn("norm", regexp_replace(col("norm"), " +", " "))
+        .withColumn("fp", md5(col("norm").cast("binary")))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp")),
+      Some("SELECT count(*) AS n_docs, count(DISTINCT fp) AS n_distinct_fp FROM " +
+        "(SELECT md5(regexp_replace(regexp_replace(lower(text),'[^a-z ]','','g'),' +',' ','g')) AS fp " +
+        s"FROM $dupCorpusSql)")))
+
+  val all: List[Q] = relational ++ trainingOps
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
