@@ -1,24 +1,53 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, plus an extraction-throughput measurement, and
+  * prints ONE JSON line.
+  */
 object Bench {
+
+  def mkSession(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Extraction throughput: docs/sec over n synthetic pages (generation is
+    * ~free vs extraction; measured end to end through the Dataset stage).
+    */
+  def extractionThroughput(spark: SparkSession, n: Long, partitions: Int): Double = {
+    val t0 = System.nanoTime()
+    graft.pipeline.ExtractStage.generateAndExtract(spark, n, partitions = partitions)
+      .select("success").filter("success").count()
+    n / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val nDocs = if (sfDir.contains("0.1")) 30000L else 4000L
+    extractionThroughput(spark, 4000, cpus.toInt * 2) // JIT warmup
+    val docsPerSec = math.max(
+      extractionThroughput(spark, nDocs, cpus.toInt * 2),
+      extractionThroughput(spark, nDocs, cpus.toInt * 2))
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

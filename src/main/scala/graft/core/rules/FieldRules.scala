@@ -11,10 +11,12 @@ object FieldRules {
     * unknown unit). The reference's mixed float-or-string return becomes a
     * typed Either; callers keep the original string alongside.
     */
+  private val weightRe = java.util.regex.Pattern.compile("(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)")
+
   def convertWeightToKg(weightStr: String): Either[String, Double] = {
     if (weightStr == null || weightStr == "N/A") return Left(weightStr)
     val s = weightStr.replace(",", "")
-    val m = java.util.regex.Pattern.compile("(\\d+(?:\\.\\d+)?)\\s*([a-zA-Z]+)").matcher(s)
+    val m = weightRe.matcher(s)
     if (!m.lookingAt()) return Left(weightStr) // re.match anchors at start
     try {
       val v = m.group(1).toDouble
@@ -31,21 +33,25 @@ object FieldRules {
     * month-name pattern can never fire; the 2-digit pivot applies to the
     * third capture group even for YMD; no zero-padding is added.
     */
+  private val dateScrub = java.util.regex.Pattern.compile("[^0-9\\-/.\\\\]")
+  private val datePatterns = List(
+    "(\\d{1,2})[-/\\\\.](\\d{1,2})[-/\\\\.](\\d{2,4})",
+    "(\\d{2,4})[-/\\\\.](\\d{1,2})[-/\\\\.](\\d{1,2})",
+    "(\\d{1,2})(?:st|nd|rd|th)?\\s+([A-Za-z]+)[,\\s]+(\\d{2,4})")
+    .map(java.util.regex.Pattern.compile)
+  private val alphaStart = java.util.regex.Pattern.compile("^[A-Za-z]+")
+
   def normalizeDate(dateStr0: String): String = {
     if (dateStr0 == null || dateStr0.isEmpty) return dateStr0
-    val dateStr = dateStr0.replaceAll("[^0-9\\-/.\\\\]", " ").trim
-    val patterns = List(
-      "(\\d{1,2})[-/\\\\.](\\d{1,2})[-/\\\\.](\\d{2,4})",
-      "(\\d{2,4})[-/\\\\.](\\d{1,2})[-/\\\\.](\\d{1,2})",
-      "(\\d{1,2})(?:st|nd|rd|th)?\\s+([A-Za-z]+)[,\\s]+(\\d{2,4})")
+    val dateStr = dateScrub.matcher(dateStr0).replaceAll(" ").trim
     val monthNames = Map(
       "january" -> "01", "february" -> "02", "march" -> "03", "april" -> "04",
       "may" -> "05", "june" -> "06", "july" -> "07", "august" -> "08",
       "september" -> "09", "october" -> "10", "november" -> "11", "december" -> "12",
       "jan" -> "01", "feb" -> "02", "mar" -> "03", "apr" -> "04", "jun" -> "06",
       "jul" -> "07", "aug" -> "08", "sep" -> "09", "oct" -> "10", "nov" -> "11", "dec" -> "12")
-    patterns.foreach { p =>
-      val m = java.util.regex.Pattern.compile(p).matcher(dateStr)
+    datePatterns.foreach { p =>
+      val m = p.matcher(dateStr)
       if (m.find()) {
         var g1 = m.group(1); val g2 = m.group(2); var g3 = m.group(3)
         if (g3.length == 2) {
@@ -53,7 +59,7 @@ object FieldRules {
           g3 = (if (y < 30) y + 2000 else y + 1900).toString
         }
         val out =
-          if (java.util.regex.Pattern.compile("^[A-Za-z]+").matcher(g2).find()) {
+          if (alphaStart.matcher(g2).find()) {
             val month = monthNames.getOrElse(g2.toLowerCase(java.util.Locale.ROOT), "01")
             s"$g1/$month/$g3"
           } else if (g1.length == 4) s"$g3/$g2/$g1"
@@ -121,6 +127,7 @@ object FieldRules {
     "M/s\\s+((?:[A-Z][A-Za-z]*\\s*)+(?:RICE MILL|AGRO|INDUSTRIES|PVT\\.? LTD\\.?|LIMITED))",
     "\\b((?:[A-Z][A-Za-z]*\\s*)+(?:RICE MILL|AGRO|INDUSTRIES|PVT\\.? LTD\\.?|LIMITED))\\b",
     "(?:Company|Seller|From):\\s*((?:[A-Z][A-Za-z]*\\s*)+)")
+    .map(java.util.regex.Pattern.compile)
 
   private val msRe = java.util.regex.Pattern.compile(
     "(M/S\\s+(?:[A-Z][A-Za-z]*\\s*)+(?:RICE MILL|AGRO|INDUSTRIES))")
@@ -128,8 +135,7 @@ object FieldRules {
   def recoverCompany(text: String): Option[String] = {
     val lines = text.split("\n", -1).take(20)
     val candidates = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-    companyPatterns.foreach { pat =>
-      val p = java.util.regex.Pattern.compile(pat)
+    companyPatterns.foreach { p =>
       lines.foreach { line =>
         val upperLine = line.toUpperCase(java.util.Locale.ROOT)
         if (upperLine.contains("M/S") && upperLine.contains("RICE MILL")) {

@@ -18,12 +18,14 @@ object TableLocator {
     "(DESCRIPTION|PARTICULARS|GOODS).{0,50}(HSN|HSN/SAC).{0,50}(BATCH|BAGS).{0,50}(WEIGHT|QTY)",
     java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
+  private val headerRes = commonHeaders.map(h =>
+    java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(h) + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE))
+
   def locate(text: String): String = {
     // all case-insensitive whole-word offsets of common header terms
     val startIndices = scala.collection.mutable.ArrayBuffer.empty[Int]
-    commonHeaders.foreach { h =>
-      val p = java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(h) + "\\b",
-        java.util.regex.Pattern.CASE_INSENSITIVE)
+    headerRes.foreach { p =>
       val m = p.matcher(text)
       while (m.find()) startIndices += m.start()
     }

@@ -51,4 +51,17 @@ object ExtractStage {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map(i => PageGen.page(seed, i))
   }
+
+  /** Fused generate→extract in a single narrow stage: skips the
+    * intermediate Page encoder round-trip (html bytes would be serialized
+    * to UnsafeRow and immediately deserialized). For table-backed runs use
+    * `run(pages)`; this is the synthetic-ingest fast path the benchmarks
+    * use.
+    */
+  def generateAndExtract(spark: SparkSession, n: Long,
+      seed: Long = PageGen.DefaultSeed, partitions: Int = 32): Dataset[ExtractedPage] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions)
+      .mapPartitions(_.map(i => processOne(PageGen.page(seed, i))))
+  }
 }

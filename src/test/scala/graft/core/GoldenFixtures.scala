@@ -1,0 +1,88 @@
+package graft.core
+
+import java.nio.file.{Files, Paths, Path}
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.pipeline.PageGen
+
+/** Golden-fixture corpus: a pinned subset of the deterministic pages table
+  * covering every payload kind (HTML, uncompressed PDF, Flate PDF, empty
+  * payload → fallback, invalid UTF-8) and every invoice format branch.
+  *
+  * `GoldenGen` produces the committed fixtures ONCE (then they are frozen
+  * in git); `GoldenSpec` re-runs the extract core per test run and asserts
+  * the output bytes are identical (FIXTURES.md §2 / the north-rule
+  * byte-identical invariant).
+  */
+object GoldenFixtures {
+  val seed = 42L
+
+  /** Pinned rows: 0-15 (mixed kinds by construction) + the first row of
+    * each non-HTML kind after 100 for explicit coverage.
+    */
+  lazy val pinnedRows: Seq[Long] = {
+    val base = (0L until 16L)
+    val kinds = Seq(10, 11, 12, 13).map { k =>
+      (100L until 4000L).find(i => PageGen.kind(seed, i) == k).get
+    }
+    (base ++ kinds).distinct
+  }
+
+  val dir: Path = Paths.get("src/test/resources/golden")
+
+  def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Deterministic JSON rendering of the structured record (sorted map
+    * keys, fixed field order) — this string is itself fixture-pinned.
+    */
+  def recordJson(url: String, r: PageResult): String = {
+    val rec = r.record
+    val spans = r.spans.map(s => s"""{"label":"${jsonEscape(s.label)}","start":${s.start},"end":${s.end}}""").mkString("[", ",", "]")
+    val products = rec.products.map { p =>
+      s"""{"goods_description":"${jsonEscape(p.goodsDescription)}","hsn_sac_code":"${jsonEscape(p.hsnSacCode)}",""" +
+        s""""quantity":"${jsonEscape(p.quantity)}","weight":"${jsonEscape(p.weight)}",""" +
+        s""""weight_in_kg":${p.weightInKg.map(_.toString).getOrElse("null")},""" +
+        s""""rate":"${jsonEscape(p.rate)}","amount":"${jsonEscape(p.amount)}"}"""
+    }.mkString("[", ",", "]")
+    val conf = rec.confidence.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
+    s"""{"url":"${jsonEscape(url)}","success":${rec.success},"pattern_used":"${jsonEscape(rec.patternUsed)}",""" +
+      s""""company_name":"${jsonEscape(rec.companyName)}","invoice_number":"${jsonEscape(rec.invoiceNumber)}",""" +
+      s""""fssai_number":"${jsonEscape(rec.fssaiNumber)}","invoice_date":"${jsonEscape(rec.invoiceDate)}",""" +
+      s""""spans":$spans,"products":$products,"confidence":$conf}"""
+  }
+
+  def compute(i: Long): (String, PageResult) = {
+    val p = PageGen.page(seed, i)
+    (p.url, ExtractCore.processPage(p.html, p.text))
+  }
+}
+
+/** One-time generator: `sbt "Test/runMain graft.core.GoldenGen"`.
+  * Refuses to overwrite existing fixtures unless passed --force
+  * (frozen means frozen).
+  */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    import GoldenFixtures._
+    val force = args.contains("--force")
+    if (Files.exists(dir) && Files.list(dir).count() > 0 && !force) {
+      System.err.println(s"fixtures exist at $dir; pass --force to regenerate")
+      sys.exit(1)
+    }
+    Files.createDirectories(dir)
+    pinnedRows.foreach { i =>
+      val (url, r) = compute(i)
+      Files.write(dir.resolve(s"row$i.txt"), r.extractedText.getBytes(UTF_8))
+      Files.write(dir.resolve(s"row$i.json"), recordJson(url, r).getBytes(UTF_8))
+    }
+    println(s"wrote ${pinnedRows.length} fixture pairs to $dir")
+  }
+}

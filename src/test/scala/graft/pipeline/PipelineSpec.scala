@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("graft-pipe").toString
+    d
+  }
+
+  test("distributed extract equals single-threaded core output") {
+    import spark.implicits._
+    val n = 300L
+    val pages = ExtractStage.generatePages(spark, n, partitions = 8)
+    val dist = ExtractStage.run(pages)
+      .select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    (0L until n).foreach { i =>
+      val p = PageGen.page(PageGen.DefaultSeed, i)
+      val local = graft.core.ExtractCore.processPage(p.html, p.text)
+      assert(dist(p.url) == local.extractedText, s"row $i text drift between cluster and local")
+    }
+  }
+
+  test("full run commits all buckets; rerun is a no-op") {
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 500, partitions = 8)
+    val l1 = ExtractPipeline.run(spark, pages, out, numBuckets = 16, snapshotGroups = 4, runId = "r1")
+    assert(l1.map(_.input_rows).sum == 500)
+    assert(ExtractPipeline.committedBuckets(out) == (0 until 16).toSet)
+    val l2 = ExtractPipeline.run(spark, pages, out, numBuckets = 16, snapshotGroups = 4, runId = "r2")
+    assert(l2.isEmpty, "resume of a complete run must process nothing")
+    assert(ExtractPipeline.readOutput(spark, out).count() == 500)
+  }
+
+  test("torn run resumes from last committed snapshot; output equals clean run") {
+    import spark.implicits._
+    val outClean = tmpDir(); val outTorn = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 400, partitions = 8)
+
+    ExtractPipeline.run(spark, pages, outClean, numBuckets = 8, snapshotGroups = 4, runId = "clean")
+
+    // simulate a kill after 2 of 4 snapshots: run fully, then drop the last
+    // two manifest lines (their parquet may or may not exist — both legal
+    // torn states; dynamic partition overwrite rewrites those buckets)
+    ExtractPipeline.run(spark, pages, outTorn, numBuckets = 8, snapshotGroups = 4, runId = "t1")
+    val mf = Paths.get(outTorn, "_manifest", "manifest.jsonl")
+    val lines = Files.readAllLines(mf)
+    Files.write(mf, String.join("\n", lines.subList(0, 2)).concat("\n").getBytes("UTF-8"))
+    assert(ExtractPipeline.committedBuckets(outTorn).size == 4)
+
+    val resumed = ExtractPipeline.run(spark, pages, outTorn, numBuckets = 8, snapshotGroups = 4, runId = "t2")
+    assert(resumed.nonEmpty)
+    assert(ExtractPipeline.committedBuckets(outTorn).size == 8)
+
+    val clean = ExtractPipeline.readOutput(spark, outClean)
+      .select($"url", $"extracted_text", $"invoice_number").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    val torn = ExtractPipeline.readOutput(spark, outTorn)
+      .select($"url", $"extracted_text", $"invoice_number").as[(String, String, String)]
+      .collect().sortBy(_._1)
+    assert(clean.length == 400 && torn.length == 400)
+    assert(clean.sameElements(torn), "resumed output must equal clean-run output")
+  }
+
+  test("lineage rows account for every input row exactly once") {
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 300, partitions = 8)
+    val lineage = ExtractPipeline.run(spark, pages, out, numBuckets = 8, snapshotGroups = 2, runId = "lin")
+    assert(lineage.map(_.input_rows).sum == 300)
+    assert(lineage.map(_.ok_rows).sum + lineage.map(_.fail_rows).sum == 300)
+    assert(lineage.forall(_.status == "committed"))
+    assert(lineage.map(_.bytes_in).sum > 0)
+  }
+
+  test("structured streaming: windowed counts over the events table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // file source needs a directory: stage the single parquet into one
+    val streamDir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"), streamDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", $"ts".cast("timestamp")) // parquet NTZ → event-time type
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("ev_windows").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT count(*) FROM ev_windows").first().getLong(0)
+    val expected = spark.read.parquet(s"$dir/events.parquet")
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type").distinct().count()
+    assert(got == expected, s"stream windows $got != batch windows $expected")
+  }
+}
