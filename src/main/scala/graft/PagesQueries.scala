@@ -85,5 +85,26 @@ object PagesQueries {
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("host").asc)
         .limit(10)
+    }),
+
+    // multimodal decode stage + feature-space KNN over the stub features
+    "q56_multimodal_knn" -> ((s, dir) => {
+      val pages = graft.pipeline.ExtractStage.generatePages(s, math.min(pageCount(dir), 500L), partitions = 16)
+      graft.pipeline.Multimodal.featureKnn(
+        graft.pipeline.Multimodal.decodeStage(pages).toDF(), k = 2)
+    }),
+
+    // column-level extraction via the native Catalyst expression (the
+    // Expression path, vs the mapPartitions path of q50-q53)
+    "q57_extract_expression" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pages = graft.pipeline.ExtractStage.generatePages(s, math.min(pageCount(dir), 500L), partitions = 16)
+      pages.toDF()
+        .select(col("url"),
+          graft.functions.GraftFunctions.extract_main_content(col("html")).as("ex"))
+        .select(col("url"), length(col("ex.text")).as("text_len"), size(col("ex.spans")).as("n_spans"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("text_len")).as("total_chars"),
+          sum(col("n_spans")).as("total_spans"))
     }))
 }

@@ -336,6 +336,113 @@ object Queries {
         "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk FROM customer) " +
         "WHERE rnk <= 3")))
 
+  private val relational2: List[Q] = List(
+
+    // S7 — point lookup with prefix fallback (app.py:432-497): exact key
+    // first, prefix scan as fallback, best-priority row wins
+    Q("q26_point_lookup",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val exact = c.filter(col("c_name") === "Customer#000000042").withColumn("prio", lit(0))
+        val prefix = c.filter(col("c_name").startsWith("Customer#00000004")).withColumn("prio", lit(1))
+        exact.unionByName(prefix)
+          .orderBy(col("prio").asc, col("c_name").asc)
+          .limit(1)
+          .select(col("c_name"), col("c_mktsegment"), round(col("c_acctbal"), 2).as("bal"))
+      },
+      Some("SELECT c_name, c_mktsegment, round(c_acctbal,2) AS bal FROM (" +
+        "SELECT *, 0 AS prio FROM customer WHERE c_name = 'Customer#000000042' " +
+        "UNION ALL SELECT *, 1 AS prio FROM customer WHERE c_name LIKE 'Customer#00000004%'" +
+        ") ORDER BY prio ASC, c_name ASC LIMIT 1")),
+
+    // P3 — shape projection with defaults (app.py:92-111 coalesce-to-dash)
+    Q("q27_projection_defaults",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("-")).as("prio_or_dash"),
+          when(col("o_totalprice") > 100000, col("o_orderstatus")).otherwise(lit("-")).as("status_if_big"))
+        .groupBy(col("prio_or_dash"), col("status_if_big"))
+        .agg(count(lit(1)).as("n")),
+      Some("SELECT coalesce(nullif(o_orderpriority,'1-URGENT'),'-') AS prio_or_dash, " +
+        "CASE WHEN o_totalprice > 100000 THEN o_orderstatus ELSE '-' END AS status_if_big, " +
+        "count(*) AS n FROM orders GROUP BY 1, 2")),
+
+    // W3/W4 — argmax (longest-candidate/best-pattern semantics) via max_by
+    Q("q28_argmax",
+      (s, dir) => t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("max_by(c_custkey, c_acctbal)").as("richest_cust"),
+          round(max(col("c_acctbal")), 2).as("top_bal")),
+      Some("SELECT c_mktsegment, arg_max(c_custkey, c_acctbal) AS richest_cust, " +
+        "round(max(c_acctbal),2) AS top_bal FROM customer GROUP BY c_mktsegment")),
+
+    // A6 — higher-order array functions: per-row aggregate over transform
+    Q("q29_hof_arrays",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("avg_word_len",
+          expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)").cast("double") / size(col("w")))
+        .groupBy(col("lang"))
+        .agg(round(avg(col("avg_word_len")), 4).as("avg_avg_word_len"), count(lit(1)).as("n")),
+      Some("SELECT lang, round(avg(list_aggregate(list_transform(string_split(text,' '), x -> length(x)), 'sum')::DOUBLE " +
+        "/ len(string_split(text,' '))), 4) AS avg_avg_word_len, count(*) AS n FROM documents GROUP BY lang")),
+
+    // F17 — filename-encoded timestamp parse (main.js:475-483): round-trip
+    // ts → result_YYYYMMDD_HHMMSS_x.json → regex groups → DD/MM/YYYY HH:MM:SS
+    Q("q40_filename_date",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("fname", concat(lit("result_"),
+          date_format(col("ts"), "yyyyMMdd"), lit("_"),
+          date_format(col("ts"), "HHmmss"), lit("_ev.json")))
+        .withColumn("d", regexp_extract(col("fname"), "result_(\\d{8})_(\\d{6})_", 1))
+        .withColumn("tm", regexp_extract(col("fname"), "result_(\\d{8})_(\\d{6})_", 2))
+        .withColumn("display", concat(
+          substring(col("d"), 7, 2), lit("/"), substring(col("d"), 5, 2), lit("/"), substring(col("d"), 1, 4),
+          lit(" "), substring(col("tm"), 1, 2), lit(":"), substring(col("tm"), 3, 2), lit(":"), substring(col("tm"), 5, 2)))
+        .groupBy(substring(col("display"), 1, 10).as("day"))
+        .agg(count(lit(1)).as("n"), max(col("display")).as("latest")),
+      Some("WITH f AS (SELECT 'result_' || strftime(ts,'%Y%m%d') || '_' || strftime(ts,'%H%M%S') || '_ev.json' AS fname FROM events), " +
+        "p AS (SELECT regexp_extract(fname, 'result_(\\d{8})_(\\d{6})_', 1) AS d, " +
+        "regexp_extract(fname, 'result_(\\d{8})_(\\d{6})_', 2) AS tm FROM f), " +
+        "disp AS (SELECT substr(d,7,2)||'/'||substr(d,5,2)||'/'||substr(d,1,4)||' '||" +
+        "substr(tm,1,2)||':'||substr(tm,3,2)||':'||substr(tm,5,2) AS display FROM p) " +
+        "SELECT substr(display,1,10) AS day, count(*) AS n, max(display) AS latest FROM disp GROUP BY 1")),
+
+    // T2/T3 — in-row clipping: first-20-words window (invoice_processor.py:937)
+    Q("q41_slice_window",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("head20", concat_ws(" ", slice(split(col("text"), " "), 1, 20)))
+        .agg(countDistinct(col("head20")).as("n_distinct_heads"),
+          round(avg(length(col("head20"))), 2).as("avg_head_len")),
+      Some("SELECT count(DISTINCT head20) AS n_distinct_heads, round(avg(length(head20)),2) AS avg_head_len FROM " +
+        "(SELECT array_to_string(string_split(text,' ')[1:20],' ') AS head20 FROM documents)")),
+
+    // pivot — wide aggregation (dashboard-matrix shape)
+    Q("q42_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("user_id") % 10 as "cohort")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("SELECT user_id % 10 AS cohort, " +
+        "count(*) FILTER (event_type='click') AS click, " +
+        "count(*) FILTER (event_type='error') AS error, " +
+        "count(*) FILTER (event_type='purchase') AS purchase, " +
+        "count(*) FILTER (event_type='signup') AS signup, " +
+        "count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1")),
+
+    // skew handling — salted two-phase aggregation (SURVEY.md §7.4): the
+    // hot-key pattern (salt → partial agg → de-salt → final agg); result
+    // must equal the plain aggregate (oracle proves it)
+    Q("q43_salted_agg",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("salt", pmod(col("doc_id"), lit(8)))
+        .groupBy(col("lang"), col("salt"))
+        .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("ch"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_docs"), sum(col("ch")).as("total_chars")),
+      Some("SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars FROM documents GROUP BY lang")))
+
   // ------------------------------------------------------------------
   // Training-data-pipeline operators: dedup / similarity / text analysis
   // ------------------------------------------------------------------
@@ -566,7 +673,7 @@ object Queries {
         "(SELECT md5(regexp_replace(regexp_replace(lower(text),'[^a-z ]','','g'),' +',' ','g')) AS fp " +
         s"FROM $dupCorpusSql)")))
 
-  val all: List[Q] = relational ++ trainingOps
+  val all: List[Q] = relational ++ relational2 ++ trainingOps
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import graft.core.rules._
+
+/** Scalar function surface (SURVEY.md §2.8/§2.11): the extract-core rules
+  * exposed as Spark SQL functions.
+  *
+  *  - `extract_main_content` is a native Catalyst [[ExtractMainContent]]
+  *    expression (codegen-aware);
+  *  - the field rules are plain `udf`s over the pure core functions — they
+  *    run per extracted field, not per byte, so udf overhead is noise;
+  *  - registration is available both imperatively ([[register]]) and via
+  *    `SparkSessionExtensions` ([[GraftExtensions]], for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object GraftFunctions {
+
+  /** Column-level form; requires [[register]] (Spark 4 keeps direct
+    * Expression→Column construction private, so this resolves through the
+    * session function registry).
+    */
+  def extract_main_content(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("extract_main_content", c)
+
+  // F1 — pattern classification (key only; confidence via identify_pattern_confidence)
+  val identifyPattern = udf((text: String) =>
+    if (text == null) null else PatternClassifier.classify(text)._1)
+  val identifyPatternConfidence = udf((text: String) =>
+    if (text == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(PatternClassifier.classify(text)._2))
+
+  // F5 — typed result: null when the reference would pass through a string
+  val weightToKg = udf((w: String) =>
+    FieldRules.convertWeightToKg(w).toOption.map(java.lang.Double.valueOf).orNull)
+
+  // F6
+  val normalizeDate = udf((s: String) => FieldRules.normalizeDate(s))
+  // F7
+  val scrubInvoiceNumber = udf((s: String) => FieldRules.scrubInvoiceNumber(s))
+  // F8
+  val scrubHsn = udf((s: String) => FieldRules.scrubHsn(s))
+  // F9
+  val scrubQuantity = udf((s: String) => FieldRules.scrubQuantity(s))
+  // F10
+  val scrubMoney = udf((s: String) => FieldRules.scrubMoney(s))
+  // F11
+  val recoverFssai = udf((s: String) =>
+    if (s == null) None else FieldRules.recoverFssai(s))
+  // F3 — column profile string (byte-exact fixture format)
+  val profileColumns = udf((s: String) => if (s == null) null else ColumnProfiler.profile(s))
+  // F4 — table-region locator
+  val locateTable = udf((s: String) => if (s == null) null else TableLocator.locate(s))
+
+  /** Register everything on a session (SQL-callable). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_main_content", exprs => ExtractMainContent(exprs.head), "built-in")
+    spark.udf.register("identify_pattern", identifyPattern)
+    spark.udf.register("identify_pattern_confidence", identifyPatternConfidence)
+    spark.udf.register("weight_to_kg", weightToKg)
+    spark.udf.register("normalize_date", normalizeDate)
+    spark.udf.register("scrub_invoice_number", scrubInvoiceNumber)
+    spark.udf.register("scrub_hsn", scrubHsn)
+    spark.udf.register("scrub_quantity", scrubQuantity)
+    spark.udf.register("scrub_money", scrubMoney)
+    spark.udf.register("recover_fssai", recoverFssai)
+    spark.udf.register("profile_columns", profileColumns)
+    spark.udf.register("locate_table", locateTable)
+    spark.udf.register("incremental_mean", org.apache.spark.sql.functions.udaf(IncrementalMean))
+  }
+}
+
+/** `spark.sql.extensions`-injectable registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("extract_main_content"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ExtractMainContent].getName, "extract_main_content"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ExtractMainContent(exprs.head)))
+  }
+}
+
+/** A10 — the reference's incremental/weighted running mean
+  * (dashboard.js:359-376) as a typed `Aggregator`: explicit partial
+  * (executor-local) + merge (cross-partition) aggregation, the exact
+  * streaming-merge shape built-in `avg` uses internally.
+  */
+object IncrementalMean extends Aggregator[Double, (Double, Long), Double] {
+  override def zero: (Double, Long) = (0.0, 0L)
+  override def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + a, b._2 + 1)
+  override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+  override def finish(r: (Double, Long)): Double = if (r._2 == 0) Double.NaN else r._1 / r._2
+  override def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

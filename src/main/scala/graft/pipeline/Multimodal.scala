@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `BINARY` columns with typed metadata, batch-decoded inside
+  * `mapPartitions` (the Scala analog of a Pandas-UDF-over-`mapInPandas`
+  * stage: per-partition batching amortizes decoder setup; schema in/out is
+  * fixed and columnar-friendly).
+  *
+  * The decode step itself is STUBBED — no image/audio codecs exist in this
+  * sandbox — with a deterministic fake that derives "features" from the
+  * payload bytes, clearly marked below. Everything around it (schema,
+  * partitioning, batch shape, null/error handling) is real and tested.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      url: String,
+      media_type: String, // image | audio | pdf | html | unknown
+      n_bytes: Long,
+      width: Int, // STUB-derived
+      height: Int, // STUB-derived
+      duration_ms: Long, // STUB-derived (audio)
+      features: Array[Float]) // STUB-derived embedding (8-dim)
+
+  /** Magic-byte sniffing — real (same approach as production media
+    * pipelines; these are the true public magic numbers).
+    */
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) "unknown"
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "image"
+    else if (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "image" // JPEG
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "audio" // WAV
+    else if (bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') "audio" // MP3
+    else if (bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F') "pdf"
+    else if (bytes(0) == '<' || (bytes(0) == '<' && bytes(1) == '!')) "html"
+    else "html" // pages-table payloads default to markup
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: real codecs (libjpeg/ffmpeg/...) are not
+    * present in this container. Derives stable pseudo-features from the
+    * byte content so the downstream plumbing (schema, joins, ANN over the
+    * feature column) is exercised end-to-end. Swap this single function
+    * for a real decoder on a production cluster.
+    */
+  private def stubDecode(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, 0L, Array.fill(8)(0f))
+    var h = 1125899906842597L // deterministic FNV-ish rolling hash
+    var i = 0
+    while (i < math.min(bytes.length, 4096)) { h = 31 * h + bytes(i); i += 1 }
+    val w = 64 + ((h & 0x3FF).toInt)
+    val ht = 64 + (((h >>> 10) & 0x3FF).toInt)
+    val dur = (h >>> 20) & 0xFFFFF
+    val feats = Array.tabulate(8)(j => (((h >>> (j * 7)) & 0xFF).toInt - 128) / 128.0f)
+    (w, ht, dur, feats)
+  }
+  // ======== END STUB ========
+
+  /** The batch decode stage: one decoder "session" per partition (the
+    * amortization point), one typed row out per payload.
+    */
+  def decodeStage(pages: Dataset[Page]): Dataset[MediaMeta] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      // per-partition decoder setup would go here (codec contexts etc.)
+      it.map { p =>
+        val kind = sniff(p.html)
+        val (w, h, dur, feats) = stubDecode(p.html)
+        MediaMeta(p.url, kind, if (p.html == null) 0L else p.html.length.toLong,
+          w, h, if (kind == "audio") dur else 0L, feats)
+      }
+    }
+  }
+
+  /** Feature-space near-dup over the stub features: cosine similarity via
+    * the same HOF pattern as the embeddings KNN (shares the scale path).
+    */
+  def featureKnn(meta0: DataFrame, k: Int = 3): DataFrame = {
+    // empty payloads decode to the zero vector — no direction, excluded
+    val meta = meta0.filter(
+      expr("aggregate(features, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x)") > 0)
+    val q = meta.select(col("url").as("query_url"), col("features").as("qf"), col("media_type"))
+    val c = meta.select(col("url").as("cand_url"), col("features").as("cf"), col("media_type"))
+    import org.apache.spark.sql.expressions.Window
+    val pairs = q.join(c, Seq("media_type")).filter(col("query_url") < col("cand_url"))
+      .withColumn("cos", round(
+        expr("aggregate(zip_with(qf, cf, (a,b) -> cast(a AS DOUBLE)*b), 0D, (acc,x) -> acc+x)") /
+          (expr("sqrt(aggregate(qf, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))") *
+            expr("sqrt(aggregate(cf, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))")), 3))
+    val w = Window.partitionBy(col("query_url")).orderBy(col("cos").desc, col("cand_url").asc)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("media_type"), col("query_url"), col("rnk"), col("cand_url"), col("cos"))
+  }
+}

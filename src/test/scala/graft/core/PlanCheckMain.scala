@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the physical-plan properties that matter at 100 TB
+  * (parquet filter pushdown, column pruning, join strategy, codegen spans)
+  * for each relational query, and flags violations.
+  */
+object PlanCheckMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val checks: Map[String, (String, String => Boolean)] = Map(
+      "q03_filter_pushdown" -> ("parquet PushedFilters non-empty",
+        p => p.contains("PushedFilters: [IsNotNull") || p.contains("PushedFilters: [Lt") || p.contains("GreaterThan")),
+      "q04_join_broadcast" -> ("BroadcastHashJoin used", _.contains("BroadcastHashJoin")),
+      "q05_join_multi" -> ("BroadcastHashJoin used", _.contains("BroadcastHashJoin")),
+      "q12_semi_join" -> ("semi join", p => p.contains("LeftSemi")),
+      "q06_antijoin_union" -> ("anti join", p => p.contains("LeftAnti")),
+      "q01_scan_agg" -> ("partial aggregation", p => p.contains("partial")))
+
+    graft.Queries.all.foreach { q =>
+      val df = q.fn(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val formatted = try {
+        val sw = new java.io.StringWriter()
+        sw.append(org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan))
+        sw.toString
+      } catch { case _: Throwable => "" }
+
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList.distinct
+      val readSchema = "ReadSchema: [^,\n]*".r.findFirstIn(plan).getOrElse("")
+      val joins = List("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
+      val nWsc = "WholeStageCodegen".r.findAllIn(plan).length
+      val exchanges = "Exchange".r.findAllIn(plan).length
+
+      println(s"=== ${q.name}")
+      println(s"  joins=$joins exchanges=$exchanges codegenSpans=$nWsc")
+      if (pushed.nonEmpty) println(s"  ${pushed.mkString("; ").take(200)}")
+      if (readSchema.nonEmpty) println(s"  $readSchema".take(220))
+      checks.get(q.name).foreach { case (desc, pred) =>
+        println(s"  CHECK[$desc]: ${if (pred(plan)) "PASS" else "FAIL"}")
+      }
+      val _ = formatted
+    }
+    spark.stop()
+  }
+}

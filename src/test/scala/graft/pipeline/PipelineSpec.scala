@@ -84,6 +84,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.map(_.bytes_in).sum > 0)
   }
 
+  test("csv and json sinks round-trip the exploded export shape (K1/K2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 100, partitions = 4)
+    val exploded = ExtractStage.run(pages).toDF()
+      .select($"url", $"company_name", $"invoice_number", $"invoice_date",
+        explode_outer($"products").as("p"))
+      .select($"url", $"company_name", $"invoice_number", $"invoice_date",
+        $"p.goods_description", $"p.quantity", $"p.weight", $"p.rate", $"p.amount")
+    val n = exploded.count()
+    exploded.write.option("header", "true").csv(s"$out/csv")
+    exploded.write.json(s"$out/json")
+    val csvBack = spark.read.option("header", "true").csv(s"$out/csv")
+    val jsonBack = spark.read.json(s"$out/json")
+    assert(csvBack.count() == n)
+    assert(jsonBack.count() == n)
+    // explode_outer keeps pages with zero products as a single null-product row
+    assert(n >= 100)
+  }
+
   test("structured streaming: windowed counts over the events table") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
