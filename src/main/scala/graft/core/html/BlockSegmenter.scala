@@ -43,82 +43,157 @@ object BlockSegmenter {
   /** Content inside these is dropped entirely. */
   private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed")
 
-  private val wordSplit = "\\s+".r
+  /** `\s` of java.util.regex — ASCII whitespace only. The hand-rolled
+    * normalization below must match `trim + replaceAll("\\s+"," ")` and
+    * `split("\\s+")` byte-for-byte (golden fixtures pin this).
+    */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  def segment(html: String): Vector[TextBlock] = segmentTokens(HtmlTokenizer.tokenize(html))
+  /** Collapse whitespace runs to single spaces and trim — allocation-lean
+    * equivalent of `s.trim.replaceAll("\\s+", " ")` (note: String.trim
+    * strips all chars ≤ ' ', a superset of `\s`; replicated exactly).
+    */
+  private def normalize(s: java.lang.StringBuilder): String = {
+    var start = 0
+    var end = s.length
+    while (start < end && s.charAt(start) <= ' ') start += 1
+    while (end > start && s.charAt(end - 1) <= ' ') end -= 1
+    if (start >= end) return ""
+    val out = new java.lang.StringBuilder(end - start)
+    var i = start
+    var inWs = false
+    while (i < end) {
+      val c = s.charAt(i)
+      if (isWs(c)) { inWs = true }
+      else {
+        if (inWs && out.length > 0) out.append(' ')
+        else if (inWs) out.append(' ') // leading ws impossible post-trim unless non-\s ≤' ' chars; keep exact
+        out.append(c)
+        inWs = false
+      }
+      i += 1
+    }
+    out.toString
+  }
 
-  def segmentTokens(tokens: Vector[HtmlTokenizer.Token]): Vector[TextBlock] = {
-    import HtmlTokenizer._
+  /** Count `split("\\s+")` words of the [start,end) region of `s`. */
+  private def countWords(s: String, from: Int, until: Int): Int = {
+    var n = 0
+    var i = from
+    var inWord = false
+    while (i < until) {
+      if (isWs(s.charAt(i))) inWord = false
+      else if (!inWord) { n += 1; inWord = true }
+      i += 1
+    }
+    n
+  }
+
+  /** The segmentation state machine as a streaming TokenSink — the hot
+    * path runs tokenizer→segmenter fused with no token materialization.
+    */
+  private final class SegmentSink extends HtmlTokenizer.TokenSink {
     val blocks = Vector.newBuilder[TextBlock]
-    val sb = new java.lang.StringBuilder
-    var words = 0
-    var linkWords = 0
-    var anchorDepth = 0
-    var ignoreDepth = 0
-    var headingDepth = 0
-    var curTag = "body"
+    private val sb = new java.lang.StringBuilder
+    private var linkWords = 0
+    private var anchorDepth = 0
+    private var ignoreDepth = 0
+    private var headingDepth = 0
+    private var curTag = "body"
 
-    def flush(): Unit = {
-      val text = sb.toString.trim.replaceAll("\\s+", " ")
+    private def flush(): Unit = {
+      val text = normalize(sb)
       if (text.nonEmpty) {
-        val w = wordSplit.split(text).count(_.nonEmpty)
+        val w = countWords(text, 0, text.length)
         blocks += TextBlock(curTag, text, w, math.min(linkWords, w),
           textDensity(text), headingDepth)
       }
-      sb.setLength(0); words = 0; linkWords = 0
+      sb.setLength(0); linkWords = 0
     }
 
-    tokens.foreach {
-      case StartTag(name, _, selfClosing) =>
-        if (ignorableTags.contains(name) && !selfClosing) ignoreDepth += 1
-        else if (blockTags.contains(name)) {
-          flush()
-          curTag = name
-          if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
-            headingDepth = name.charAt(1) - '0'
-        } else if (name == "a" && !selfClosing) anchorDepth += 1
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+      if (ignorableTags.contains(name) && !selfClosing) ignoreDepth += 1
+      else if (blockTags.contains(name)) {
+        flush()
+        curTag = name
+        if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
+          headingDepth = name.charAt(1) - '0'
+      } else if (name == "a" && !selfClosing) anchorDepth += 1
 
-      case EndTag(name) =>
-        if (ignorableTags.contains(name)) { if (ignoreDepth > 0) ignoreDepth -= 1 }
-        else if (blockTags.contains(name)) {
-          flush()
-          if (name.length == 2 && name.charAt(0) == 'h') headingDepth = 0
-          curTag = "body"
-        } else if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1 }
+    def endTag(name: String): Unit =
+      if (ignorableTags.contains(name)) { if (ignoreDepth > 0) ignoreDepth -= 1 }
+      else if (blockTags.contains(name)) {
+        flush()
+        if (name.length == 2 && name.charAt(0) == 'h') headingDepth = 0
+        curTag = "body"
+      } else if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1 }
 
-      case Text(t) =>
-        if (ignoreDepth == 0 && t.trim.nonEmpty) {
-          val w = wordSplit.split(t.trim).count(_.nonEmpty)
+    def text(t: String): Unit =
+      if (ignoreDepth == 0) {
+        // trim bounds without allocating the trimmed copy
+        var ts = 0; var te = t.length
+        while (ts < te && t.charAt(ts) <= ' ') ts += 1
+        while (te > ts && t.charAt(te - 1) <= ' ') te -= 1
+        if (te > ts) {
+          val w = countWords(t, ts, te)
           if (anchorDepth > 0) linkWords += w
-          words += w
           if (sb.length > 0) sb.append(' ')
-          sb.append(t.trim)
+          sb.append(t, ts, te)
         }
+      }
+
+    def result(): Vector[TextBlock] = { flush(); blocks.result() }
+  }
+
+  def segment(html: String): Vector[TextBlock] = {
+    val sink = new SegmentSink
+    HtmlTokenizer.tokenizeInto(html, sink, materializeAttrs = false)
+    sink.result()
+  }
+
+  /** Token-Vector entry point (tests / tooling). */
+  def segmentTokens(tokens: Vector[HtmlTokenizer.Token]): Vector[TextBlock] = {
+    import HtmlTokenizer._
+    val sink = new SegmentSink
+    tokens.foreach {
+      case StartTag(name, attrs, selfClosing) => sink.startTag(name, attrs, selfClosing)
+      case EndTag(name) => sink.endTag(name)
+      case Text(t) => sink.text(t)
     }
-    flush()
-    blocks.result()
+    sink.result()
   }
 
   /** Words per line after greedy 80-column wrapping (the paper's proxy for
     * rendered text density, independent of any real layout engine).
+    * Input is whitespace-normalized (single spaces), so word iteration is
+    * a space scan — no regex, no array allocation.
     */
   def textDensity(text: String): Double = {
-    val ws = wordSplit.split(text).filter(_.nonEmpty)
-    if (ws.isEmpty) return 0.0
-    var lines = 1
+    if (text.isEmpty) return 0.0
     var col = 0
     var fullLines = 0
     var wordsOnFullLines = 0
     var wordsOnLine = 0
-    ws.foreach { w =>
-      val add = if (col == 0) w.length else w.length + 1
-      if (col + add > 80 && col > 0) {
-        fullLines += 1; wordsOnFullLines += wordsOnLine
-        lines += 1; col = w.length; wordsOnLine = 1
-      } else { col += add; wordsOnLine += 1 }
+    var totalWords = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      var j = text.indexOf(' ', i)
+      if (j < 0) j = n
+      val wlen = j - i
+      if (wlen > 0) {
+        totalWords += 1
+        val add = if (col == 0) wlen else wlen + 1
+        if (col + add > 80 && col > 0) {
+          fullLines += 1; wordsOnFullLines += wordsOnLine
+          col = wlen; wordsOnLine = 1
+        } else { col += add; wordsOnLine += 1 }
+      }
+      i = j + 1
     }
-    // last (partial) line excluded when there are wrapped lines, per paper
-    if (fullLines > 0) wordsOnFullLines.toDouble / fullLines
-    else ws.length.toDouble
+    if (totalWords == 0) 0.0
+    else if (fullLines > 0) wordsOnFullLines.toDouble / fullLines
+    else totalWords.toDouble
   }
 }

@@ -101,15 +101,39 @@ object HtmlTokenizer {
   private def isNameChar(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
-  /** Tokenize an HTML string into a flat token stream. Single pass, O(n). */
+  /** Streaming consumer — lets the block segmenter run without
+    * materializing a token Vector (or attribute lists it never reads):
+    * the hot path allocates only the text strings themselves.
+    */
+  trait TokenSink {
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+    def endTag(name: String): Unit
+    def text(t: String): Unit
+  }
+
+  /** Tokenize into a materialized token stream (tests / tooling). */
   def tokenize(html: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
+    tokenizeInto(html, new TokenSink {
+      def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+        out += StartTag(name, attrs, selfClosing)
+      def endTag(name: String): Unit = out += EndTag(name)
+      def text(t: String): Unit = out += Text(t)
+    }, materializeAttrs = true)
+    out.result()
+  }
+
+  /** Single-pass O(n) scanner feeding `sink`. When `materializeAttrs` is
+    * false, attributes are scanned (to advance correctly) but not
+    * allocated.
+    */
+  def tokenizeInto(html: String, sink: TokenSink, materializeAttrs: Boolean): Unit = {
     val n = html.length
     var i = 0
     var textStart = 0
 
     def flushText(until: Int): Unit =
-      if (until > textStart) out += Text(decodeEntities(html.substring(textStart, until)))
+      if (until > textStart) sink.text(decodeEntities(html.substring(textStart, until)))
 
     while (i < n) {
       val c = html.charAt(i)
@@ -142,7 +166,7 @@ object HtmlTokenizer {
             i += 1
           } else {
             // scan attributes up to '>'
-            val attrs = List.newBuilder[(String, String)]
+            val attrs = if (materializeAttrs) List.newBuilder[(String, String)] else null
             var selfClosing = false
             var done = false
             while (!done && j < n) {
@@ -153,43 +177,48 @@ object HtmlTokenizer {
               } else if (j < n) {
                 val aStart = j
                 while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-                val aName = html.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
-                var aVal = ""
+                val aNameEnd = j
+                var vStart = -1; var vEnd = -1
                 while (j < n && html.charAt(j).isWhitespace) j += 1
                 if (j < n && html.charAt(j) == '=') {
                   j += 1
                   while (j < n && html.charAt(j).isWhitespace) j += 1
                   if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
                     val q = html.charAt(j); j += 1
-                    val vStart = j
+                    vStart = j
                     while (j < n && html.charAt(j) != q) j += 1
-                    aVal = html.substring(vStart, math.min(j, n))
+                    vEnd = math.min(j, n)
                     if (j < n) j += 1
                   } else {
-                    val vStart = j
+                    vStart = j
                     while (j < n && !html.charAt(j).isWhitespace && html.charAt(j) != '>') j += 1
-                    aVal = html.substring(vStart, j)
+                    vEnd = j
                   }
                 }
-                if (aName.nonEmpty) attrs += (aName -> decodeEntities(aVal))
-                else j += 1 // stray char; make progress
+                if (aNameEnd > aStart) {
+                  if (materializeAttrs) {
+                    val aName = html.substring(aStart, aNameEnd).toLowerCase(java.util.Locale.ROOT)
+                    val aVal = if (vStart >= 0) decodeEntities(html.substring(vStart, vEnd)) else ""
+                    attrs += (aName -> aVal)
+                  }
+                } else j += 1 // stray char; make progress
               }
             }
             i = j
             textStart = i
-            if (isEnd) out += EndTag(name)
+            if (isEnd) sink.endTag(name)
             else {
-              out += StartTag(name, attrs.result(), selfClosing)
+              sink.startTag(name, if (materializeAttrs) attrs.result() else Nil, selfClosing)
               // raw-text elements: consume content without tokenizing markup
               if (!selfClosing && rawTextTags.contains(name)) {
                 val end = indexOfIgnoreCase(html, "</" + name, i)
                 if (end >= 0) {
-                  if (end > i) out += Text(html.substring(i, end)) // raw, no entity decode
+                  if (end > i) sink.text(html.substring(i, end)) // raw, no entity decode
                   val gt = html.indexOf('>', end)
-                  out += EndTag(name)
+                  sink.endTag(name)
                   i = if (gt < 0) n else gt + 1
                 } else {
-                  if (n > i) out += Text(html.substring(i, n))
+                  if (n > i) sink.text(html.substring(i, n))
                   i = n
                 }
                 textStart = i
@@ -200,6 +229,5 @@ object HtmlTokenizer {
       } else i += 1
     }
     flushText(n)
-    out.result()
   }
 }

@@ -134,32 +134,47 @@ object FieldRules {
 
   def recoverCompany(text: String): Option[String] = {
     val lines = text.split("\n", -1).take(20)
+    // uppercase each line once (the reference recomputes per use; results
+    // are identical, only the allocation count differs)
+    val uppers = lines.map(_.toUpperCase(java.util.Locale.ROOT))
     val candidates = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
-    companyPatterns.foreach { p =>
-      lines.foreach { line =>
-        val upperLine = line.toUpperCase(java.util.Locale.ROOT)
+    // A line can only match patterns 1/2 if it contains one of their
+    // mandatory suffix literals, and pattern 3 only if it contains its
+    // prefix literal — cheap contains-guards that skip the (heavily
+    // backtracking) regexes on prose lines without changing any match.
+    val suffixTriggers = Array("RICE MILL", "AGRO", "INDUSTRIES", "PVT", "LIMITED")
+    val prefixTriggers = Array("COMPANY:", "SELLER:", "FROM:")
+    val canMatch12 = uppers.map(u => suffixTriggers.exists(u.contains))
+    val canMatch3 = uppers.map(u => prefixTriggers.exists(u.contains))
+
+    companyPatterns.zipWithIndex.foreach { case (p, pi) =>
+      var li = 0
+      while (li < lines.length) {
+        val line = lines(li)
+        val upperLine = uppers(li)
+        val guard = if (pi < 2) canMatch12(li) else canMatch3(li)
         if (upperLine.contains("M/S") && upperLine.contains("RICE MILL")) {
           val mm = msRe.matcher(upperLine)
           if (mm.find()) {
             val g = mm.group(1)
-            val startIdx = line.toUpperCase(java.util.Locale.ROOT).indexOf(g)
+            val startIdx = upperLine.indexOf(g)
             if (startIdx >= 0) {
               val company = line.substring(startIdx, math.min(line.length, startIdx + g.length))
               candidates += ((company, company.length + 5))
             }
           }
         }
-        val m = p.matcher(upperLine)
+        val m = p.matcher(if (guard) upperLine else "")
         while (m.find()) {
           val g1 = m.group(1)
-          val startIdx = line.toUpperCase(java.util.Locale.ROOT).indexOf(g1.toUpperCase(java.util.Locale.ROOT))
+          val startIdx = upperLine.indexOf(g1.toUpperCase(java.util.Locale.ROOT))
           if (startIdx >= 0) {
             val endIdx = math.min(line.length, startIdx + g1.length)
             val company = line.substring(startIdx, endIdx)
             var msPrefix = ""
-            if (startIdx > 4 && line.substring(startIdx - 4, startIdx).toUpperCase(java.util.Locale.ROOT).contains("M/S")) {
+            if (startIdx > 4 && upperLine.substring(startIdx - 4, startIdx).contains("M/S")) {
               val from = math.max(0, startIdx - 10)
-              val msStart = line.toUpperCase(java.util.Locale.ROOT).indexOf("M/S", from)
+              val msStart = upperLine.indexOf("M/S", from)
               if (msStart >= 0 && msStart < startIdx)
                 msPrefix = line.substring(msStart, startIdx).trim + " "
             }
@@ -167,6 +182,7 @@ object FieldRules {
             candidates += ((full, full.length))
           }
         }
+        li += 1
       }
     }
     // stable sort by score desc — Python list.sort is stable
