@@ -131,6 +131,7 @@ object ExtractPipeline {
         .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("part_bucket")
+        .option("compression", "zstd") // text-heavy output: zstd ≫ snappy at scale
         .parquet(s"$outDir/data")
 
       val lineage = metricsAcc.value.asScala.toSeq
