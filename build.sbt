@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap: on this virtualized host, heap grow/uncommit churn shows
+  // up as kernel-time storms (30-50% sys, cores idle) that throttle the
+  // extract stage up to 10x — measured in BENCH.md. On a real cluster the
+  // same flags go on the executors.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

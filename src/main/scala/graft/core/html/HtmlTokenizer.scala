@@ -33,7 +33,7 @@ object HtmlTokenizer {
     */
   private val entities: Map[String, String] = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
     "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
     "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
     "rdquo" -> "”", "trade" -> "™", "deg" -> "°",

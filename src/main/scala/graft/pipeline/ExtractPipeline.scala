@@ -132,6 +132,10 @@ object ExtractPipeline {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("part_bucket")
         .option("compression", "zstd") // text-heavy output: zstd ≫ snappy at scale
+        // 16 MB row groups: the default 128 MB makes every write task hold
+        // a huge column buffer — on faulting-sensitive hosts that's a 2-3x
+        // throughput hit (BENCH.md), and smaller groups parallelize reads
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(s"$outDir/data")
 
       val lineage = metricsAcc.value.asScala.toSeq

@@ -1,0 +1,104 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.html.{Boilerplate, BlockSegmenter, HtmlTokenizer}
+
+/** Adversarial real-world HTML shapes: the tokenizer/segmenter must stay
+  * total, keep content, and never corrupt offsets.
+  */
+class HtmlEdgeSpec extends AnyFunSuite {
+
+  private def extractText(html: String): String = Boilerplate.extract(html).text
+
+  test("inline formatting does not split blocks") {
+    val prose = Seq.fill(20)("word").mkString(" ")
+    val html = s"<body><p>$prose <b>bold</b> <i>ital</i> <em>em</em> <strong>str</strong> <span>span</span> $prose</p></body>"
+    val blocks = BlockSegmenter.segment(html)
+    val para = blocks.find(_.words > 30).get
+    assert(para.text.contains("bold ital em str span"))
+  }
+
+  test("nested tables keep cell text in separate blocks") {
+    val html = "<table><tr><td>outer A</td><td><table><tr><td>inner B</td></tr></table></td></tr>" +
+      "<tr><td>outer C</td></tr></table>"
+    val blocks = BlockSegmenter.segment(html)
+    val texts = blocks.map(_.text)
+    assert(texts.contains("outer A"))
+    assert(texts.contains("inner B"))
+    assert(texts.contains("outer C"))
+  }
+
+  test("attributes with >, unquoted values, and duplicate names parse") {
+    val html = """<body><p title="a > b" data-x=raw id=z id=zz>text here stays</p></body>"""
+    val toks = HtmlTokenizer.tokenize(html)
+    val p = toks.collectFirst { case HtmlTokenizer.StartTag("p", a, _) => a }.get
+    assert(p.contains("title" -> "a > b"))
+    assert(p.contains("data-x" -> "raw"))
+    assert(toks.exists { case HtmlTokenizer.Text(t) => t.contains("text here stays"); case _ => false })
+  }
+
+  test("nbsp and numeric entities become text without breaking word counts") {
+    val html = "<body><p>alpha&nbsp;beta&#32;gamma&#x20;delta</p></body>"
+    val blocks = BlockSegmenter.segment(html)
+    assert(blocks.head.text == "alpha beta gamma delta")
+    assert(blocks.head.words == 4)
+  }
+
+  test("unterminated script consumes to EOF without exception") {
+    val html = "<body><p>visible</p><script>var x = '<p>not content</p>';"
+    val text = extractText(html + Seq.fill(30)(" pad").mkString)
+    assert(!text.contains("not content"))
+  }
+
+  test("conditional comments and doctype junk are skipped") {
+    val html = "<!DOCTYPE html><!--[if IE]><p>ie only</p><![endif]--><body><p>" +
+      Seq.fill(20)("real").mkString(" ") + "</p></body>"
+    val text = extractText(html)
+    assert(!text.contains("ie only"))
+    assert(text.contains("real real"))
+  }
+
+  test("deeply nested divs do not overflow (10k depth)") {
+    val html = "<div>" * 10000 + "<p>deep content here with several words to keep</p>" + "</div>" * 10000
+    val blocks = BlockSegmenter.segment(html)
+    assert(blocks.exists(_.text.contains("deep content")))
+  }
+
+  test("angle brackets in text survive as literals") {
+    val html = "<body><p>math: 1 < 2 and 3 > 2 and a<b when unspaced stays</p></body>"
+    val text = BlockSegmenter.segment(html).map(_.text).mkString(" ")
+    assert(text.contains("1 < 2"))
+    assert(text.contains("3 > 2"))
+    // "a<b" — the "<b" parses as a tag open (browser behavior); "a" survives
+    assert(text.contains("a"))
+  }
+
+  test("mixed-case and namespaced tags normalize") {
+    val html = "<BODY><P>upper tags</P><svg:rect/><DIV>more text</DIV></BODY>"
+    val texts = BlockSegmenter.segment(html).map(_.text)
+    assert(texts.contains("upper tags"))
+    assert(texts.contains("more text"))
+  }
+
+  test("empty document and whitespace-only documents extract empty") {
+    assert(extractText("") == "")
+    assert(extractText("   \n\t  ") == "")
+    assert(extractText("<html><head></head><body></body></html>") == "")
+  }
+
+  test("definition lists and blockquotes are blocks") {
+    val html = "<dl><dt>Term</dt><dd>Definition text</dd></dl><blockquote>quoted words here</blockquote>"
+    val texts = BlockSegmenter.segment(html).map(_.text)
+    assert(texts.contains("Term"))
+    assert(texts.contains("Definition text"))
+    assert(texts.contains("quoted words here"))
+  }
+
+  test("html inside noscript is ignored") {
+    val prose = Seq.fill(25)("keep").mkString(" ")
+    val html = s"<body><noscript><p>fallback junk</p></noscript><p>$prose</p></body>"
+    val text = extractText(html)
+    assert(!text.contains("fallback junk"))
+    assert(text.contains("keep keep"))
+  }
+}
