@@ -81,7 +81,7 @@ object PagesQueries {
     "q55_host_skew" -> ((s, dir) => {
       val pages = graft.pipeline.ExtractStage.generatePages(s, pageCount(dir), partitions = 32).toDF()
       pages
-        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .withColumn("host", graft.pipeline.SkewTools.hostOf(col("url")))
         .groupBy(col("host")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("host").asc)
         .limit(10)

@@ -116,15 +116,18 @@ object ExtractCore {
       if (text.trim.isEmpty)
         return PageResult("", spans, ExtractionRecord.failure("Could not extract text from PDF"))
 
-      val (patternKey, _) = PatternClassifier.classify(text)
+      // parse the table sections once; classifier and both extraction
+      // passes share the result (was 3 parses of the same text)
+      val tables = rules.TableParser.parse(text)
+      val (patternKey, _) = PatternClassifier.classify(text, tables)
 
       // pass 1: sniffed-format rules; pass 2: generic fallback on invalid
       val format = FieldMapper.sniff(text)
-      val first = Validator.validate(FieldMapper.extract(text, format))
+      val first = Validator.validate(FieldMapper.extract(text, format, tables))
       val chosen =
         if (first.isValid || format == FieldMapper.GenericFormat) first
         else {
-          val second = Validator.validate(FieldMapper.extract(text, FieldMapper.GenericFormat))
+          val second = Validator.validate(FieldMapper.extract(text, FieldMapper.GenericFormat, tables))
           if (second.isValid) second else first
         }
 
@@ -134,7 +137,11 @@ object ExtractCore {
       rec = finalizeProducts(rec)
       PageResult(text, spans, rec)
     } catch {
-      case e: Throwable =>
-        PageResult("", Vector.empty, ExtractionRecord.failure(String.valueOf(e.getMessage)))
+      // NonFatal only: OOM/Interrupted must stay task failures (Spark
+      // retries them) — converting them to data rows would silently lose
+      // pages on a degraded executor
+      case scala.util.control.NonFatal(e) =>
+        val msg = if (e.getMessage != null) e.getMessage else e.toString
+        PageResult("", Vector.empty, ExtractionRecord.failure(msg))
     }
 }

@@ -125,7 +125,10 @@ object BlockSegmenter {
       if (ignorableTags.contains(name)) { if (ignoreDepth > 0) ignoreDepth -= 1 }
       else if (blockTags.contains(name)) {
         flush()
-        if (name.length == 2 && name.charAt(0) == 'h') headingDepth = 0
+        // only a real heading close (h1-h6) clears heading state — '</hr>'
+        // from WYSIWYG output must not
+        if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
+          headingDepth = 0
         curTag = "body"
       } else if (name == "a") { if (anchorDepth > 0) anchorDepth -= 1 }
 

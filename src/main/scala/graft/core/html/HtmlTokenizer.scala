@@ -162,7 +162,11 @@ object HtmlTokenizer {
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
-          if (name.isEmpty) { // lone '<' — treat as text
+          if (name.isEmpty) { // '<' / '</' with no tag name — literal text
+            // text up to i was already flushed: advance textStart so the
+            // next flush starts at the '<' (not re-emitting what came
+            // before — '</>'-style junk must not duplicate the page text)
+            textStart = i
             i += 1
           } else {
             // scan attributes up to '>'
@@ -211,7 +215,14 @@ object HtmlTokenizer {
               sink.startTag(name, if (materializeAttrs) attrs.result() else Nil, selfClosing)
               // raw-text elements: consume content without tokenizing markup
               if (!selfClosing && rawTextTags.contains(name)) {
-                val end = indexOfIgnoreCase(html, "</" + name, i)
+                // the close tag must END the name ('</script' + '>' or
+                // whitespace or '/'), else '</scripty>' would close early
+                val closer = "</" + name
+                var end = indexOfIgnoreCase(html, closer, i)
+                while (end >= 0 && end + closer.length < n && {
+                  val c2 = html.charAt(end + closer.length)
+                  !(c2 == '>' || c2 == '/' || c2.isWhitespace)
+                }) end = indexOfIgnoreCase(html, closer, end + 1)
                 if (end >= 0) {
                   if (end > i) sink.text(html.substring(i, end)) // raw, no entity decode
                   val gt = html.indexOf('>', end)

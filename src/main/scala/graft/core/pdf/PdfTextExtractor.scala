@@ -33,7 +33,7 @@ object PdfTextExtractor {
       val streams = contentStreams(bytes)
       val pages = streams.map(extractFromContent)
       pages.filter(_.nonEmpty).mkString("\n")
-    } catch { case _: Throwable => "" }
+    } catch { case scala.util.control.NonFatal(_) => "" }
 
   /** All decoded stream payloads that contain a BT text object, in document
     * order (object order == page order for our corpus).
@@ -46,8 +46,12 @@ object PdfTextExtractor {
       val s = indexOf(bytes, "stream", i)
       if (s < 0) { i = n }
       else {
-        // the dict immediately precedes; look back for FlateDecode marker
-        val dictStart = math.max(0, lastIndexOf(bytes, "<<", s))
+        // the whole object dict precedes the stream keyword; anchoring on
+        // the last "obj" (not the last "<<") keeps the OUTER dict's
+        // /Filter and /Length visible even when it contains nested dicts
+        // (e.g. /DecodeParms << ... >>)
+        val objStart = lastIndexOf(bytes, "obj", s)
+        val dictStart = math.max(0, if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s))
         val dict = new String(bytes, dictStart, s - dictStart, java.nio.charset.StandardCharsets.ISO_8859_1)
         var ds = s + "stream".length
         if (ds < n && bytes(ds) == '\r') ds += 1
@@ -77,16 +81,18 @@ object PdfTextExtractor {
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
-    inf.setInput(data)
-    val buf = new java.io.ByteArrayOutputStream(data.length * 4)
-    val tmp = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val k = inf.inflate(tmp)
-      if (k == 0 && !inf.finished()) return buf.toByteArray
-      buf.write(tmp, 0, k)
-    }
-    inf.end()
-    buf.toByteArray
+    try {
+      inf.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream(data.length * 4)
+      val tmp = new Array[Byte](8192)
+      var stalled = false
+      while (!inf.finished() && !inf.needsInput() && !stalled) {
+        val k = inf.inflate(tmp)
+        if (k == 0 && !inf.finished()) stalled = true
+        else buf.write(tmp, 0, k)
+      }
+      buf.toByteArray
+    } finally inf.end() // native zlib memory — must not wait for GC
   }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {

@@ -120,7 +120,12 @@ object FieldMapper {
     * PATTERNS regexes, products from the parsed tables (F2 first, the F4
     * locator's pipe-less region as fallback).
     */
-  def extract(text: String, format: Format): ExtractionRecord = {
+  def extract(text: String, format: Format): ExtractionRecord =
+    extract(text, format, TableParser.parse(text))
+
+  /** Variant taking pre-parsed tables (parse once per document). */
+  def extract(text: String, format: Format,
+      tables: List[List[List[String]]]): ExtractionRecord = {
     def firstGroup(p: java.util.regex.Pattern): String = {
       val m = p.matcher(text)
       if (m.find()) m.group(1) else "N/A"
@@ -129,8 +134,6 @@ object FieldMapper {
     val invoiceNumber = firstGroup(Patterns.invoiceNumber)
     val invoiceDate = firstGroup(Patterns.invoiceDate)
     val fssai = firstGroup(Patterns.fssaiNumber)
-
-    val tables = TableParser.parse(text)
     val products: List[Product] =
       if (tables.nonEmpty) tables.flatMap(t => mapTable(t, format))
       else {

@@ -43,10 +43,14 @@ object PatternClassifier {
   }
 
   /** @return (patternKey, confidence) */
-  def classify(text: String): (String, Double) = {
-    val upper = text.toUpperCase(java.util.Locale.ROOT)
+  def classify(text: String): (String, Double) =
+    classify(text, TableParser.parse(text))
 
-    val tables = TableParser.parse(text)
+  /** Variant taking pre-parsed tables (the orchestrator parses once and
+    * shares the result across classify + both extraction passes).
+    */
+  def classify(text: String, tables: List[List[List[String]]]): (String, Double) = {
+    val upper = text.toUpperCase(java.util.Locale.ROOT)
     val detected: DetectedColumns =
       tables.headOption.flatMap(_.headOption) match {
         case Some(headerRow) =>

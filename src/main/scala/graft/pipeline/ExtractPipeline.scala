@@ -138,7 +138,12 @@ object ExtractPipeline {
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(s"$outDir/data")
 
+      // dedupe by partition id: a retried or speculative task reaches the
+      // end-of-iterator report twice with identical (deterministic)
+      // counts — keep one row per partition so the manifest audit trail
+      // never overcounts
       val lineage = metricsAcc.value.asScala.toSeq
+        .groupBy(_.partition_id).map(_._2.head).toSeq.sortBy(_.partition_id)
       appendManifest(outDir, runId, snapshotId, buckets, lineage)
       allLineage ++= lineage
     }

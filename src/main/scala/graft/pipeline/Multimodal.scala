@@ -86,7 +86,7 @@ object Multimodal {
     val q = meta.select(col("url").as("query_url"), col("features").as("qf"), col("media_type"))
     val c = meta.select(col("url").as("cand_url"), col("features").as("cf"), col("media_type"))
     import org.apache.spark.sql.expressions.Window
-    val pairs = q.join(c, Seq("media_type")).filter(col("query_url") < col("cand_url"))
+    val pairs = q.join(c, Seq("media_type")).filter(col("query_url") =!= col("cand_url"))
       .withColumn("cos", round(
         expr("aggregate(zip_with(qf, cf, (a,b) -> cast(a AS DOUBLE)*b), 0D, (acc,x) -> acc+x)") /
           (expr("sqrt(aggregate(qf, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))") *

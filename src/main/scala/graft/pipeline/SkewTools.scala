@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
-  def hostOf(url: Column): Column = regexp_extract(url, "https?://([^/]+)/", 1)
+  def hostOf(url: Column): Column = regexp_extract(url, "https?://([^/]+)", 1)
 
   /** Hot keys = keys holding more than `threshold` of the sampled rows.
     * Sampling is deterministic (seeded) — resume-safe.

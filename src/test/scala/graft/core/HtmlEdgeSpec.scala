@@ -94,6 +94,29 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(texts.contains("quoted words here"))
   }
 
+  test("'</>'-style junk never duplicates preceding text (regression)") {
+    val toks = HtmlTokenizer.tokenize("Hello</>World")
+    val texts = toks.collect { case HtmlTokenizer.Text(t) => t }
+    assert(texts.mkString == "Hello</>World")
+    // segmenter joins adjacent text runs with a space — the invariant is
+    // no duplication, not byte-level concatenation
+    val blocks = BlockSegmenter.segment("<p>Hello</>World</p>")
+    assert(blocks.map(_.text).mkString(" ") == "Hello </>World")
+  }
+
+  test("'</scripty>' does not close a script element early (regression)") {
+    val html = """<body><script>var s="</scripty>";</script><p>visible words</p></body>"""
+    val text = extractText(html + Seq.fill(10)(" pad").mkString)
+    assert(!text.contains("scripty"))
+    assert(!text.contains("var s"))
+  }
+
+  test("'</hr>' does not clear heading state (regression)") {
+    val blocks = BlockSegmenter.segment("<h2>alpha<hr></hr>beta words here</h2>")
+    val beta = blocks.find(_.text.contains("beta")).get
+    assert(beta.headingDepth == 2)
+  }
+
   test("html inside noscript is ignored") {
     val prose = Seq.fill(25)("keep").mkString(" ")
     val html = s"<body><noscript><p>fallback junk</p></noscript><p>$prose</p></body>"
