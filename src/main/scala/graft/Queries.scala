@@ -621,6 +621,50 @@ object Queries {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
         "WHERE rnk <= 3")),
 
+    // duplicate-cluster canonicalization: connected components over the
+    // LSH candidate-pair graph (the step that turns pairwise dedup signals
+    // into keep/drop decisions). Spark side: iterative min-label
+    // propagation (converges in O(log diameter) rounds; the dup graph's
+    // diameter is tiny); oracle: recursive CTE reachability.
+    Q("q44_dup_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val d = dupCorpus(s, dir)
+          .withColumn("w", array_distinct(split(col("text"), " ")))
+        // one LSH band (2 concatenated minhashes) — enough to pair every
+        // exact dup while keeping the edge list small
+        val banded = d.select(col("doc_id"), md5(concat_ws("_",
+          expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
+          expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
+        val a = banded.select(col("band"), col("doc_id").as("src"))
+        val b = banded.select(col("band"), col("doc_id").as("dst"))
+        val edges = a.join(b, Seq("band")).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst")).distinct().cache()
+        var labels: DataFrame = banded.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+        var i = 0
+        while (i < 6) { // ≥ graph diameter for band-bucket cliques (1 hop)
+          val prop = edges.join(labels, edges("src") === labels("id"))
+            .select(col("dst").as("id"), col("comp"))
+          labels = labels.unionByName(prop)
+            .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+          i += 1
+        }
+        labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      },
+      Some("WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS w FROM " +
+        dupCorpusSql + "), " +
+        "banded AS (SELECT doc_id, md5(" +
+        "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
+        "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
+        "edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.doc_id <> b.doc_id), " +
+        "reach AS (SELECT doc_id AS id, doc_id AS comp FROM banded " +
+        "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
+        "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) " +
+        "SELECT sz, count(*) AS n_clusters FROM " +
+        "(SELECT comp, count(*) AS sz FROM labels GROUP BY comp) GROUP BY sz")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")
