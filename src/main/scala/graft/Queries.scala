@@ -629,31 +629,41 @@ object Queries {
     Q("q44_dup_clusters",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
+        // minhash over 3-gram SHINGLES, not unigrams: with a small shared
+        // vocabulary unigram minhash collides nearly all docs into one
+        // band (42M-edge clique at sf0.1); shingles keep buckets tight
         val d = dupCorpus(s, dir)
-          .withColumn("w", array_distinct(split(col("text"), " ")))
-        // one LSH band (2 concatenated minhashes) — enough to pair every
-        // exact dup while keeping the edge list small
+          .withColumn("wrd", split(col("text"), " "))
+          .filter(size(col("wrd")) >= 3)
+          .withColumn("w", array_distinct(expr(
+            "transform(sequence(0, size(wrd)-3), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2), element_at(wrd,i+3)))")))
         val banded = d.select(col("doc_id"), md5(concat_ws("_",
           expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
           expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
-        val a = banded.select(col("band"), col("doc_id").as("src"))
-        val b = banded.select(col("band"), col("doc_id").as("dst"))
+        val bandedC = banded.localCheckpoint(true) // minhash computed once
+        val a = bandedC.select(col("band"), col("doc_id").as("src"))
+        val b = bandedC.select(col("band"), col("doc_id").as("dst"))
         val edges = a.join(b, Seq("band")).filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst")).distinct().cache()
-        var labels: DataFrame = banded.select(col("doc_id").as("id"), col("doc_id").as("comp"))
+          .select(col("src"), col("dst")).distinct()
+          .localCheckpoint(true)
+        var labels: DataFrame = bandedC.select(col("doc_id").as("id"), col("doc_id").as("comp"))
         var i = 0
-        while (i < 6) { // ≥ graph diameter for band-bucket cliques (1 hop)
-          val prop = edges.join(labels, edges("src") === labels("id"))
+        while (i < 3) { // ≥ graph diameter (band buckets are 1-hop cliques)
+          // eager checkpoint per round: an iterative DataFrame loop must
+          // truncate lineage or round k re-executes rounds 1..k-1
+          labels = edges.join(labels, edges("src") === labels("id"))
             .select(col("dst").as("id"), col("comp"))
-          labels = labels.unionByName(prop)
+            .unionByName(labels)
             .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+            .localCheckpoint(true)
           i += 1
         }
         labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       },
-      Some("WITH RECURSIVE docs AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS w FROM " +
-        dupCorpusSql + "), " +
+      Some("WITH RECURSIVE docs AS (SELECT doc_id, " +
+        "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
+        s"(SELECT doc_id, string_split(text,' ') AS wrd FROM $dupCorpusSql) WHERE len(wrd) >= 3), " +
         "banded AS (SELECT doc_id, md5(" +
         "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
         "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
