@@ -431,6 +431,34 @@ object Queries {
         "count(*) FILTER (event_type='signup') AS signup, " +
         "count(*) FILTER (event_type='view') AS view FROM events GROUP BY 1")),
 
+    // sessionization: gap-based session assignment via lag + running sum
+    // (the batch form of stateful stream sessionization)
+    Q("q45_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessions = t(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("timestamp").cast("long") -
+                col("prev_ts").cast("timestamp").cast("long") > 1800, 1).otherwise(0))
+          .withColumn("session_seq", sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sessions.groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+            round(avg(col("n_events")), 4).as("avg_events_per_session"),
+            max(col("n_events")).as("max_session_events"))
+      },
+      Some("WITH s AS (SELECT user_id, CASE WHEN prev_ts IS NULL OR " +
+        "epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session, ts, event_id FROM " +
+        "(SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)), " +
+        "seq AS (SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s), " +
+        "per AS (SELECT user_id, session_seq, count(*) AS n_events FROM seq GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_sessions, round(avg(n_events), 4) AS avg_events_per_session, " +
+        "max(n_events) AS max_session_events FROM per")),
+
     // skew handling — salted two-phase aggregation (SURVEY.md §7.4): the
     // hot-key pattern (salt → partial agg → de-salt → final agg); result
     // must equal the plain aggregate (oracle proves it)
