@@ -24,7 +24,7 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        return repr(v)  # full precision: engines must agree to the last bit
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)
