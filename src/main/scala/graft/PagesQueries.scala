@@ -94,6 +94,21 @@ object PagesQueries {
         graft.pipeline.Multimodal.decodeStage(pages).toDF(), k = 2)
     }),
 
+    // F3/F4 as SQL functions over extracted text: table-region location +
+    // byte-exact column profiling (the reference's structure-analysis ops)
+    "q58_table_analysis" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      extracted(s, dir)
+        .filter(col("success"))
+        .withColumn("region", expr("locate_table(extracted_text)"))
+        .withColumn("profile", expr("profile_columns(extracted_text)"))
+        .groupBy((length(col("region")) > 0).as("has_table_region"),
+          (length(col("profile")) > 0).as("has_column_profile"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(length(col("region"))), 2).as("avg_region_len"),
+          round(avg(length(col("profile"))), 2).as("avg_profile_len"))
+    }),
+
     // column-level extraction via the native Catalyst expression (the
     // Expression path, vs the mapPartitions path of q50-q53)
     "q57_extract_expression" -> ((s, dir) => {
