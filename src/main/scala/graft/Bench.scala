@@ -35,9 +35,12 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // a crashing query must be visible in the JSON, never silently folded
+    // into the total as a fast "success"
+    val failed = results.collect { case (n, _, false) => n }
 
     val nDocs = if (sfDir.contains("0.1")) 30000L else 4000L
     extractionThroughput(spark, 4000, cpus.toInt * 2) // JIT warmup
@@ -45,9 +48,11 @@ object Bench {
       extractionThroughput(spark, nDocs, cpus.toInt * 2),
       extractionThroughput(spark, nDocs, cpus.toInt * 2))
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"cpus":$cpus}""")
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

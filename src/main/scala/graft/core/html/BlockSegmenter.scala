@@ -43,6 +43,14 @@ object BlockSegmenter {
   /** Content inside these is dropped entirely. */
   private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed")
 
+  /** Tags legal inside <head> per the HTML5 tree builder's "in head" mode —
+    * any OTHER start tag implicitly closes an open head (</head> is
+    * optional in HTML5; browsers pop head at the first flow/body tag).
+    */
+  private val headMetadataTags = Set(
+    "base", "basefont", "bgsound", "link", "meta", "title", "noscript",
+    "noframes", "style", "script", "template", "head")
+
   /** `\s` of java.util.regex — ASCII whitespace only. The hand-rolled
     * normalization below must match `trim + replaceAll("\\s+"," ")` and
     * `split("\\s+")` byte-for-byte (golden fixtures pin this).
@@ -101,6 +109,7 @@ object BlockSegmenter {
     private var ignoreDepth = 0
     private var headingDepth = 0
     private var curTag = "body"
+    private var inHead = false
 
     private def flush(): Unit = {
       val text = normalize(sb)
@@ -112,17 +121,33 @@ object BlockSegmenter {
       sb.setLength(0); linkWords = 0
     }
 
-    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
-      if (ignorableTags.contains(name) && !selfClosing) ignoreDepth += 1
+    def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
+      if (inHead && !headMetadataTags.contains(name)) {
+        // implicit </head> (HTML5 tree builder): without this, a page that
+        // omits </head> keeps ignoreDepth=1 forever and drops its body text
+        inHead = false
+        if (ignoreDepth > 0) ignoreDepth -= 1
+      }
+      if (ignorableTags.contains(name) && !selfClosing) {
+        if (name == "head") inHead = true
+        ignoreDepth += 1
+      }
       else if (blockTags.contains(name)) {
         flush()
         curTag = name
         if (name.length == 2 && name.charAt(0) == 'h' && name.charAt(1) >= '1' && name.charAt(1) <= '6')
           headingDepth = name.charAt(1) - '0'
       } else if (name == "a" && !selfClosing) anchorDepth += 1
+    }
 
     def endTag(name: String): Unit =
-      if (ignorableTags.contains(name)) { if (ignoreDepth > 0) ignoreDepth -= 1 }
+      if (name == "head") {
+        // only decrement for a head that is actually open — a stray
+        // </head> after the implicit close must not eat another
+        // ignorable's depth (e.g. an open noscript)
+        if (inHead) { inHead = false; if (ignoreDepth > 0) ignoreDepth -= 1 }
+      }
+      else if (ignorableTags.contains(name)) { if (ignoreDepth > 0) ignoreDepth -= 1 }
       else if (blockTags.contains(name)) {
         flush()
         // only a real heading close (h1-h6) clears heading state — '</hr>'

@@ -14,9 +14,12 @@ object TableLocator {
 
   private val endMarkers = List("TOTAL", "GRAND TOTAL", "SUBTOTAL", "AMOUNT IN WORDS")
 
+  // no DOTALL: the reference compiles with re.IGNORECASE only, so its '.'
+  // does NOT match newline — the .{0,50} gaps must stay on one line or the
+  // branch falls through to the generic cluster path
   private val birlaRe = java.util.regex.Pattern.compile(
     "(DESCRIPTION|PARTICULARS|GOODS).{0,50}(HSN|HSN/SAC).{0,50}(BATCH|BAGS).{0,50}(WEIGHT|QTY)",
-    java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+    java.util.regex.Pattern.CASE_INSENSITIVE)
 
   private val headerRes = commonHeaders.map(h =>
     java.util.regex.Pattern.compile("\\b" + java.util.regex.Pattern.quote(h) + "\\b",

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster canonicalization primitives: the step that turns
+  * pairwise dedup signals (LSH band collisions) into keep/drop decisions
+  * (reference analog: the per-file dedup decision in
+  * /root/reference/app.py result handling; at corpus scale this is
+  * connected components over the candidate-pair graph).
+  */
+object Dedup {
+
+  /** Connected components over an edge list via iterative min-label
+    * propagation, run to a FIXPOINT rather than a fixed round count — a
+    * hardcoded iteration budget silently under-converges once duplicate
+    * chains exceed the assumed graph diameter.
+    *
+    * Convergence test: each round min-label propagation is monotone
+    * non-increasing per vertex, so the checksum `sum(comp)` strictly
+    * decreases until the fixpoint — one cheap aggregate per round instead
+    * of a self-join change count. Rounds = O(graph diameter); `maxIters`
+    * is a runaway guard only (throws rather than returning a wrong answer).
+    *
+    * @param vertices one column `id` (long)
+    * @param edges    columns `src`, `dst`; must contain both directions of
+    *                 each undirected edge (a symmetric band self-join does)
+    * @return (id, comp) with comp = min reachable id
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 60): DataFrame = {
+    var labels = vertices.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): Long = {
+      val v = df.agg(sum(col("comp"))).head().get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    var prev = checksum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // eager checkpoint per round: an iterative DataFrame loop must
+      // truncate lineage or round k re-executes rounds 1..k-1
+      labels = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val s = checksum(labels)
+      done = s == prev
+      prev = s
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+}

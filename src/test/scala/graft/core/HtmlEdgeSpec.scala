@@ -117,6 +117,23 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(beta.headingDepth == 2)
   }
 
+  test("page without </head> still yields its body text (implicit head close)") {
+    // HTML5 makes </head> optional: browsers pop head at the first
+    // non-metadata tag. Without the implicit close the whole document
+    // would be dropped as head content.
+    val prose = Seq.fill(25)("content").mkString(" ")
+    val noClose = s"<html><head><title>t</title><meta charset=utf-8><body><p>$prose</p></body></html>"
+    assert(extractText(noClose).contains("content content"))
+    assert(!extractText(noClose).contains("t t")) // title stays ignored
+    // no <body> either — first flow tag pops head
+    val bare = s"<html><head><title>t</title><div><p>$prose</p></div>"
+    assert(extractText(bare).contains("content content"))
+    // a stray </head> arriving INSIDE an open noscript (head already
+    // implicitly closed) must not eat the noscript's ignore depth
+    val stray = s"<head><meta><p>$prose</p><noscript>junk</head>more junk</noscript><p>$prose</p>"
+    assert(!extractText(stray).contains("junk"))
+  }
+
   test("html inside noscript is ignored") {
     val prose = Seq.fill(25)("keep").mkString(" ")
     val html = s"<body><noscript><p>fallback junk</p></noscript><p>$prose</p></body>"

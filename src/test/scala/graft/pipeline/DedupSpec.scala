@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def components(vertices: Seq[Long], undirected: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val v = vertices.toDF("id")
+    val e = (undirected ++ undirected.map(p => (p._2, p._1))).toDF("src", "dst")
+    Dedup.connectedComponents(v, e).as[(Long, Long)].collect().toMap
+  }
+
+  test("deep chain (diameter 10) converges to one component — a fixed-3-round version gets this wrong") {
+    // path graph 0-1-2-...-10: min-label needs ~diameter rounds to reach the
+    // far end; 3 hardcoded rounds would leave vertices 4..10 mislabeled
+    val vs = (0L to 10L)
+    val es = vs.init.map(i => (i, i + 1L))
+    val comp = components(vs, es)
+    assert(comp.values.toSet == Set(0L), s"chain must collapse to component 0, got $comp")
+  }
+
+  test("disjoint cliques and singletons keep separate components") {
+    // clique {1,2,3}, pair {10,11}, singleton {20}
+    val vs = Seq(1L, 2L, 3L, 10L, 11L, 20L)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+    val comp = components(vs, es)
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("empty edge set: every vertex is its own component") {
+    val comp = components(Seq(5L, 6L), Seq.empty)
+    assert(comp == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("two chained band-buckets merge through the shared doc (LSH bridge shape)") {
+    // bucket A = {1,2,3}, bucket B = {3,4,5}: doc 3 bridges them
+    val vs = Seq(1L, 2L, 3L, 4L, 5L)
+    val cliqueA = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val cliqueB = Seq((3L, 4L), (4L, 5L), (3L, 5L))
+    val comp = components(vs, cliqueA ++ cliqueB)
+    assert(comp.values.toSet == Set(1L))
+  }
+}

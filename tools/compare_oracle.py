@@ -39,9 +39,12 @@ for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         fails.append((name, "no spark output")); continue
+    # read the WHOLE directory — a multi-file output compared via files[0]
+    # would silently check a partial row set
+    spark_glob = f"{outdir}/{name}/*.parquet"
     scol = [r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM read_parquet('{files[0]}')").fetchall()]
-    srows = con.execute(f"SELECT * FROM read_parquet('{files[0]}')").fetchall()
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall()]
+    srows = con.execute(f"SELECT * FROM read_parquet('{spark_glob}')").fetchall()
     try:
         res = con.execute(sql)
         ocol = [d[0] for d in res.description]
