@@ -17,13 +17,28 @@ object PagesQueries {
     else if (sfDir.contains("0.01")) 1000L
     else 300L
 
-  // one extraction pass shared by all queries in a session
+  // one extraction pass shared by all queries in a session — the FUSED
+  // generate→extract path (single narrow stage, no intermediate Page
+  // encoder round-trip; round 1 paid that round-trip here and q50 was the
+  // most expensive bench entry)
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   private def extracted(s: SparkSession, sfDir: String): DataFrame =
-    cache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+    cache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ =>
+      graft.pipeline.ExtractStage
+        .generateAndExtract(s, pageCount(sfDir), partitions = 32).toDF().persist())
+
+  // one committed output table (bucket(url) + days(warc_ts) hidden
+  // partitioning) shared by the storage-layer queries q59-q61
+  private val outCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def committedOut(s: SparkSession, sfDir: String): String =
+    outCache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-committed").toString
       val pages = graft.pipeline.ExtractStage.generatePages(s, pageCount(sfDir), partitions = 32)
-      graft.pipeline.ExtractStage.run(pages).toDF().persist()
+      graft.pipeline.ExtractPipeline.run(s, pages, out,
+        numBuckets = 16, snapshotGroups = 4, runId = "pq")
+      out
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,6 +122,50 @@ object PagesQueries {
         .agg(count(lit(1)).as("n"),
           round(avg(length(col("region"))), 2).as("avg_region_len"),
           round(avg(length(col("profile"))), 2).as("avg_profile_len"))
+    }),
+
+    // S7 at the storage layer: point read over the COMMITTED output table —
+    // the foldable bucket predicate prunes to exactly 1 of 16 bucket
+    // partitions (asserted in PipelineSpec's pruning test)
+    "q59_point_read_pruned" -> ((s, dir) => {
+      val out = committedOut(s, dir)
+      val u = graft.pipeline.PageGen.url(graft.pipeline.PageGen.DefaultSeed, 7L)
+      graft.pipeline.ExtractPipeline.pointLookup(s, out, u, numBuckets = 16)
+        .select(col("url"), col("part_bucket"), col("success"),
+          col("invoice_number"), col("text_length"))
+    }),
+
+    // days(warc_ts) pruning: a 3-day window over the committed table reads
+    // only the matching warc_day directories in each bucket
+    "q60_day_range_pruned" -> ((s, dir) => {
+      val out = committedOut(s, dir)
+      graft.pipeline.ExtractPipeline.readDayRange(s, out, "2025-06-03", "2025-06-05")
+        .groupBy(col("warc_day"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("success"), 1).otherwise(0)).cast("long").as("n_ok"),
+          sum(col("n_products")).cast("long").as("n_products"))
+        .orderBy(col("warc_day"))
+    }),
+
+    // the reference's /dashboard_stats (app.py:626-672) over the engine's
+    // OWN metrics: per-snapshot doc counts, success rate, mean per-row ms,
+    // and delta vs the previous snapshot via lag — W1 on the lineage table
+    "q61_dashboard_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val out = committedOut(s, dir)
+      val lin = s.read.json(s"$out/_manifest/manifest.jsonl")
+        .select(col("run_id"), col("snapshot_id"), explode(col("lineage")).as("l"))
+      val perSnap = lin.groupBy(col("snapshot_id"))
+        .agg(sum(col("l.input_rows")).as("n_docs"),
+          round(sum(col("l.ok_rows")) * 100.0 / sum(col("l.input_rows")), 2).as("success_rate"),
+          round(sum(col("l.ms")) / sum(col("l.input_rows")), 3).as("avg_ms_per_doc"),
+          sum(col("l.bytes_in")).as("bytes_in"))
+      // ~4 snapshot rows: the single-partition window runs on aggregates
+      val w = Window.orderBy(col("snapshot_id"))
+      perSnap
+        .withColumn("prev_docs", lag(col("n_docs"), 1).over(w))
+        .withColumn("delta_docs", col("n_docs") - col("prev_docs"))
+        .orderBy(col("snapshot_id"))
     }),
 
     // column-level extraction via the native Catalyst expression (the

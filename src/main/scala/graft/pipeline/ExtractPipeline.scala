@@ -22,8 +22,11 @@ final case class LineageRow(
   * this sandbox — SURVEY.md environment facts).
   *
   * Layout:
-  *   out/data/part_bucket=<b>/…parquet   — hidden-partitioning emulation of
-  *                                         Iceberg `bucket(url)`
+  *   out/data/part_bucket=<b>/warc_day=<d>/…parquet
+  *     — hidden-partitioning emulation of Iceberg `bucket(url)` +
+  *       `days(warc_ts)`: point reads prune to one bucket, time-range
+  *       scans (the most common crawl-corpus predicate) prune to the
+  *       matching days instead of reading every bucket
   *   out/_manifest/manifest.jsonl        — one line per committed snapshot,
   *                                         listing bucket ids + lineage
   *
@@ -129,8 +132,9 @@ object ExtractPipeline {
 
       extracted
         .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+        .withColumn("warc_day", to_date(col("warc_ts")))
         .write.mode(SaveMode.Overwrite)
-        .partitionBy("part_bucket")
+        .partitionBy("part_bucket", "warc_day")
         .option("compression", "zstd") // text-heavy output: zstd ≫ snappy at scale
         // 16 MB row groups: the default 128 MB makes every write task hold
         // a huge column buffer — on faulting-sensitive hosts that's a 2-3x
@@ -153,4 +157,25 @@ object ExtractPipeline {
   /** Read the committed output table. */
   def readOutput(spark: SparkSession, outDir: String) =
     spark.read.parquet(s"$outDir/data")
+
+  /** S7 at the storage layer: exact-url point read. The bucket predicate is
+    * foldable (pmod(xxhash64(literal))), so Catalyst constant-folds it and
+    * static partition pruning reads exactly ONE of the B buckets — the
+    * storage analog of the reference's filename-prefix point lookup
+    * (/root/reference/app.py:451-456).
+    */
+  def pointLookup(spark: SparkSession, outDir: String, url: String,
+      numBuckets: Int = 32) =
+    readOutput(spark, outDir)
+      .filter(col("part_bucket") === pmod(xxhash64(lit(url)), lit(numBuckets)).cast("int")
+        && col("url") === url)
+
+  /** Day-range scan: prunes on the `days(warc_ts)` hidden partition, so a
+    * time-window query reads only the matching day directories in each
+    * bucket instead of the whole corpus.
+    */
+  def readDayRange(spark: SparkSession, outDir: String,
+      fromDay: String, toDay: String) =
+    readOutput(spark, outDir)
+      .filter(col("warc_day") >= lit(fromDay) && col("warc_day") <= lit(toDay))
 }

@@ -84,6 +84,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(lineage.map(_.bytes_in).sum > 0)
   }
 
+  test("output layout is bucket(url) + days(warc_ts); point read prunes to one bucket") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 400, partitions = 8)
+    ExtractPipeline.run(spark, pages, out, numBuckets = 16, snapshotGroups = 2, runId = "prune")
+
+    // physical layout: part_bucket=<b>/warc_day=<d> directories exist
+    val bucketDirs = new java.io.File(s"$out/data").listFiles().filter(_.isDirectory)
+    assert(bucketDirs.nonEmpty && bucketDirs.forall(_.getName.startsWith("part_bucket=")))
+    val dayDirs = bucketDirs.head.listFiles().filter(_.isDirectory)
+    assert(dayDirs.nonEmpty && dayDirs.forall(_.getName.startsWith("warc_day=")))
+
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val outTable = ExtractPipeline.readOutput(spark, out)
+    val totalParts = outTable.select("part_bucket", "warc_day").distinct().count()
+
+    // S7 point read: the foldable bucket predicate must statically prune
+    // to the partitions of exactly ONE bucket
+    val u = PageGen.url(PageGen.DefaultSeed, 7L)
+    val bucketOfU = spark.range(1)
+      .select(pmod(xxhash64(lit(u)), lit(16)).cast("int")).head().getInt(0)
+    val oneBucketParts = outTable.filter(col("part_bucket") === bucketOfU)
+      .select("warc_day").distinct().count()
+    val lookup = ExtractPipeline.pointLookup(spark, out, u, numBuckets = 16)
+    val scan = lookup.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(scan.selectedPartitions.partitionCount == oneBucketParts,
+      s"point read must scan only bucket $bucketOfU's $oneBucketParts partitions, " +
+        s"scanned ${scan.selectedPartitions.partitionCount} of $totalParts")
+    val got = lookup.collect()
+    assert(got.length == 1 && got.head.getAs[String]("url") == u)
+
+    // days(warc_ts) pruning: a 3-day range selects only those days' dirs
+    val rangedParts = outTable
+      .filter("warc_day BETWEEN '2025-06-03' AND '2025-06-05'")
+      .select("part_bucket", "warc_day").distinct().count()
+    val ranged = ExtractPipeline.readDayRange(spark, out, "2025-06-03", "2025-06-05")
+    val rscan = ranged.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(rscan.selectedPartitions.partitionCount == rangedParts
+      && rangedParts < totalParts,
+      s"day range must prune to $rangedParts partitions, " +
+        s"scanned ${rscan.selectedPartitions.partitionCount} of $totalParts")
+    // and the pruned read returns exactly the rows a full-scan filter does
+    val full = ExtractPipeline.readOutput(spark, out)
+      .filter("to_date(warc_ts) BETWEEN '2025-06-03' AND '2025-06-05'").count()
+    assert(ranged.count() == full)
+  }
+
+  test("two-sheet export: metadata + products projections (K3/K4)") {
+    val out = tmpDir()
+    val extracted = ExtractStage.generateAndExtract(spark, 100, partitions = 4).toDF()
+    Export.writeTwoSheet(extracted, out)
+    val meta = spark.read.option("header", "true").csv(s"$out/invoice_details")
+    val prods = spark.read.option("header", "true").csv(s"$out/products")
+    assert(meta.count() == 100) // one row per document
+    val expectedProducts = extracted.selectExpr("sum(n_products)").first().getLong(0)
+    assert(prods.count() == expectedProducts) // one row per product
+    assert(meta.columns.contains("invoice_number") && meta.columns.contains("fssai_number"))
+    assert(prods.columns.contains("goods_description") && prods.columns.contains("weight_in_kg"))
+    // header fields are broadcast onto every product row (K4 shape)
+    assert(prods.columns.contains("invoice_number") && prods.columns.contains("company_name"))
+  }
+
   test("csv and json sinks round-trip the exploded export shape (K1/K2)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
