@@ -489,6 +489,59 @@ object Queries {
   private val dupCorpusSql =
     "(SELECT * FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)"
 
+  /** Duplicate-cluster labels over the dup corpus, shared by q44 (cluster
+    * histogram) and q46 (keep/drop materialization).
+    *
+    * Minhash over 3-gram SHINGLES, not unigrams: with a small shared
+    * vocabulary unigram minhash collides nearly all docs into one band
+    * (42M-edge clique at sf0.1); shingles keep buckets tight. Edges are
+    * STAR edges (every doc → its band bucket's min doc_id): the same
+    * connected components as the full clique with O(k) edges per bucket
+    * instead of O(k²), so a hot bucket (boilerplate-heavy template
+    * cluster) can't explode edge generation at corpus scale. Label
+    * propagation runs to a FIXPOINT (a hardcoded round count is silently
+    * wrong once dup chains exceed the assumed diameter — DedupSpec pins
+    * the deep-chain case).
+    */
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = dupCorpus(s, dir)
+      .withColumn("wrd", split(col("text"), " "))
+      .filter(size(col("wrd")) >= 3)
+      .withColumn("w", array_distinct(expr(
+        "transform(sequence(0, size(wrd)-3), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2), element_at(wrd,i+3)))")))
+    val banded = d.select(col("doc_id"), md5(concat_ws("_",
+      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
+      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
+    val bandedC = banded.localCheckpoint(true) // minhash computed once
+    val hubs = bandedC.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
+    val star = bandedC.join(hubs, Seq("band"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("doc_id").as("src"), col("hub").as("dst"))
+    val edges = star
+      .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    graft.pipeline.Dedup.connectedComponents(
+      bandedC.select(col("doc_id").as("id")), edges)
+  }
+
+  /** The q44/q46 oracle prefix: full transitive closure over the clique
+    * edges via a recursive CTE (reachability is identical over clique and
+    * star edges, so the oracle pins the Spark star-edge shortcut too).
+    */
+  private val dupClusterCte: String =
+    "WITH RECURSIVE docs AS (SELECT doc_id, " +
+      "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
+      s"(SELECT doc_id, string_split(text,' ') AS wrd FROM $dupCorpusSql) WHERE len(wrd) >= 3), " +
+      "banded AS (SELECT doc_id, md5(" +
+      "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
+      "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
+      "edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM banded a JOIN banded b " +
+      "ON a.band = b.band AND a.doc_id <> b.doc_id), " +
+      "reach AS (SELECT doc_id AS id, doc_id AS comp FROM banded " +
+      "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
+      "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) "
+
   /** 16-bit simhash over words: bit j of first-4-hex of md5(word); per-doc
     * sum of ±1 per bit; simhash = OR of positive bits. Both dialects
     * generate their bit terms from the same loop so the formulas cannot
@@ -687,52 +740,26 @@ object Queries {
     // diameter is tiny); oracle: recursive CTE reachability.
     Q("q44_dup_clusters",
       (s, dir) => {
-        // minhash over 3-gram SHINGLES, not unigrams: with a small shared
-        // vocabulary unigram minhash collides nearly all docs into one
-        // band (42M-edge clique at sf0.1); shingles keep buckets tight
-        val d = dupCorpus(s, dir)
-          .withColumn("wrd", split(col("text"), " "))
-          .filter(size(col("wrd")) >= 3)
-          .withColumn("w", array_distinct(expr(
-            "transform(sequence(0, size(wrd)-3), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2), element_at(wrd,i+3)))")))
-        val banded = d.select(col("doc_id"), md5(concat_ws("_",
-          expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
-          expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
-        val bandedC = banded.localCheckpoint(true) // minhash computed once
-        // star edges: connect every doc in a band bucket to the bucket's
-        // min doc_id — the same connected components as the full clique
-        // with O(k) edges per bucket instead of O(k²), so a hot bucket
-        // (boilerplate-heavy template cluster) can't explode edge
-        // generation at corpus scale
-        val hubs = bandedC.groupBy(col("band")).agg(min(col("doc_id")).as("hub"))
-        val star = bandedC.join(hubs, Seq("band"))
-          .filter(col("doc_id") =!= col("hub"))
-          .select(col("doc_id").as("src"), col("hub").as("dst"))
-        val edges = star
-          .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-          .localCheckpoint(true)
-        // min-label propagation to a FIXPOINT (round 1 hardcoded 3 rounds,
-        // silently wrong once dup chains exceed diameter 3 — VERDICT
-        // "What's wrong" #4; the deep-chain case is pinned in DedupSpec)
-        val labels = graft.pipeline.Dedup.connectedComponents(
-          bandedC.select(col("doc_id").as("id")), edges)
+        val labels = dupClusterLabels(s, dir)
         labels.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       },
-      Some("WITH RECURSIVE docs AS (SELECT doc_id, " +
-        "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
-        s"(SELECT doc_id, string_split(text,' ') AS wrd FROM $dupCorpusSql) WHERE len(wrd) >= 3), " +
-        "banded AS (SELECT doc_id, md5(" +
-        "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
-        "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
-        "edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM banded a JOIN banded b " +
-        "ON a.band = b.band AND a.doc_id <> b.doc_id), " +
-        "reach AS (SELECT doc_id AS id, doc_id AS comp FROM banded " +
-        "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
-        "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) " +
-        "SELECT sz, count(*) AS n_clusters FROM " +
+      Some(s"$dupClusterCte SELECT sz, count(*) AS n_clusters FROM " +
         "(SELECT comp, count(*) AS sz FROM labels GROUP BY comp) GROUP BY sz")),
+
+    // dedup keep/drop materialization: the decision step — canonical doc
+    // per duplicate cluster (min doc_id = the component label), everything
+    // else dropped. This is what a training-data pipeline actually emits.
+    Q("q46_dedup_keep",
+      (s, dir) => {
+        val labels = dupClusterLabels(s, dir)
+        labels.agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("comp")).as("n_kept"),
+          (count(lit(1)) - countDistinct(col("comp"))).as("n_dropped"))
+      },
+      Some(s"$dupClusterCte SELECT count(*) AS n_docs, " +
+        "count(DISTINCT comp) AS n_kept, " +
+        "count(*) - count(DISTINCT comp) AS n_dropped FROM labels")),
 
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
@@ -773,6 +800,25 @@ object Queries {
       Some("SELECT lang, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tokens, " +
         "round(avg(len(string_split(text,' '))),2) AS avg_tokens, " +
         "max(len(string_split(text,' '))) AS max_tokens FROM documents GROUP BY lang")),
+
+    // BPE-ish subword token counting: regex pre-tokenizer (letter runs /
+    // digit runs / single punctuation — the GPT-2-style pre-tokenization
+    // shape) as a second, finer counter next to q38's whitespace tokens
+    Q("q47_token_bpe",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("sub", expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .withColumn("n_sub", size(col("sub")))
+        .withColumn("n_ws", size(split(col("text"), " ")))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_sub")).cast("long").as("total_subtokens"),
+          round(avg(col("n_sub")), 2).as("avg_subtokens"),
+          round(avg(col("n_sub").cast("double") / col("n_ws")), 4).as("subtokens_per_word")),
+      Some("SELECT lang, CAST(sum(len(sub)) AS BIGINT) AS total_subtokens, " +
+        "round(avg(len(sub)),2) AS avg_subtokens, " +
+        "round(avg(len(sub)::DOUBLE / len(string_split(text,' '))),4) AS subtokens_per_word FROM " +
+        "(SELECT lang, text, regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0) AS sub " +
+        "FROM documents) GROUP BY lang")),
 
     // document fingerprinting: digest of normalized text over the dup corpus
     Q("q39_fingerprint",

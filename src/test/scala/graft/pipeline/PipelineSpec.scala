@@ -4,6 +4,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
+// top-level so Spark can derive encoders (local case classes lack the
+// TypeTag spark.implicits needs)
+final case class SessEv(user_id: Long, ts: java.sql.Timestamp)
+final case class SessState(lastSec: Long, n: Long)
+
 class PipelineSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -200,6 +205,72 @@ class PipelineSpec extends AnyFunSuite {
         PageGen.page(PageGen.DefaultSeed, url.split("page-")(1).split("\\.")(0).toLong).html, null)
       assert(streamed(url) == coreText.length, s"stream/core drift for $url")
       val _ = text
+    }
+  }
+
+  test("structured streaming: stateful sessionization via flatMapGroupsWithState") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"))
+
+    // two REAL micro-batches in event-time order: first half of the
+    // timeline lands before the stream starts, second half is appended
+    // between processAllAvailable calls — session state must carry across
+    val cutoff = events.agg(expr("percentile_approx(unix_seconds(ts), 0.5)")).first().getLong(0)
+    val streamDir = Files.createTempDirectory("graft-sess")
+    events.filter(unix_seconds($"ts") <= cutoff)
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+
+    def sessionize(uid: Long, evs: Iterator[SessEv],
+        state: GroupState[SessState]): Iterator[(Long, Long)] = {
+      // batches arrive in time order; within a batch, sort the group
+      val sorted = evs.map(_.ts.getTime / 1000).toSeq.sorted
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L))
+      sorted.foreach { sec =>
+        st = if (st.lastSec == Long.MinValue || sec - st.lastSec > 1800)
+          SessState(sec, st.n + 1) else SessState(sec, st.n)
+      }
+      state.update(st)
+      Iterator((uid, st.n))
+    }
+
+    val schema = events.schema
+    val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(sessionize _)
+      .toDF("user_id", "n_sessions")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sess_state").start()
+    q.processAllAvailable()
+    events.filter(unix_seconds($"ts") > cutoff)
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+    q.processAllAvailable()
+    q.stop()
+
+    // update mode appends one row per (user, batch); n is monotone — the
+    // final per-user session count is the max
+    val streamed = spark.sql(
+      "SELECT user_id, max(n_sessions) AS n FROM sess_state GROUP BY user_id")
+      .as[(Long, Long)].collect().toMap
+
+    // batch reference: the q45 lag + running-sum sessionization
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val batch = events
+      .withColumn("prev", lag($"ts", 1).over(byUser))
+      .withColumn("new_s", when($"prev".isNull ||
+        unix_seconds($"ts") - unix_seconds($"prev") > 1800, 1).otherwise(0))
+      .groupBy($"user_id").agg(sum($"new_s").as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, n) =>
+      assert(n == batch(u), s"user $u: streamed $n sessions, batch ${batch(u)}")
     }
   }
 
