@@ -50,6 +50,11 @@ object GraftFunctions {
   // F11
   val recoverFssai = udf((s: String) =>
     if (s == null) None else FieldRules.recoverFssai(s))
+  // F13 — code-fence strip (reference's LLM-response cleanup; pure string op)
+  val stripCodeFences = udf((s: String) => MiscRules.stripCodeFences(s))
+  // F19 — human-readable file size (reference's formatFileSize)
+  val humanFileSize = udf((b: java.lang.Long) =>
+    if (b == null) null else MiscRules.humanFileSize(b))
   // F3 — column profile string (byte-exact fixture format)
   val profileColumns = udf((s: String) => if (s == null) null else ColumnProfiler.profile(s))
   // F4 — table-region locator
@@ -68,6 +73,8 @@ object GraftFunctions {
     spark.udf.register("scrub_quantity", scrubQuantity)
     spark.udf.register("scrub_money", scrubMoney)
     spark.udf.register("recover_fssai", recoverFssai)
+    spark.udf.register("strip_code_fences", stripCodeFences)
+    spark.udf.register("human_file_size", humanFileSize)
     spark.udf.register("profile_columns", profileColumns)
     spark.udf.register("locate_table", locateTable)
     spark.udf.register("incremental_mean", org.apache.spark.sql.functions.udaf(IncrementalMean))
