@@ -134,6 +134,27 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(!extractText(stray).contains("junk"))
   }
 
+  test("CDATA outside foreign content is a bogus comment (consume to first '>')") {
+    // browsers treat <![CDATA[ in HTML as a bogus comment ending at the
+    // first '>' — the tail after that '>' is literal text
+    val toks = HtmlTokenizer.tokenize("<p>a <![CDATA[hidden > rest]]> b</p>")
+    val text = toks.collect { case HtmlTokenizer.Text(t) => t }.mkString
+    assert(!text.contains("hidden"))
+    assert(text.contains("rest]]> b"))
+  }
+
+  test("unterminated comment consumes to EOF without duplicating text") {
+    val blocks = BlockSegmenter.segment("<p>keep these words</p><!-- lost to the void")
+    assert(blocks.map(_.text).mkString(" ") == "keep these words")
+  }
+
+  test("textarea is raw text: markup inside is literal content, one block") {
+    val toks = HtmlTokenizer.tokenize("<textarea><p>not a tag</p></textarea>")
+    val text = toks.collect { case HtmlTokenizer.Text(t) => t }.mkString
+    assert(text == "<p>not a tag</p>")
+    assert(!toks.exists { case HtmlTokenizer.StartTag("p", _, _) => true; case _ => false })
+  }
+
   test("html inside noscript is ignored") {
     val prose = Seq.fill(25)("keep").mkString(" ")
     val html = s"<body><noscript><p>fallback junk</p></noscript><p>$prose</p></body>"

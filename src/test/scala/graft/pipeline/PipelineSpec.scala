@@ -138,6 +138,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranged.count() == full)
   }
 
+  test("dashboard stats over the lineage manifest (q61): totals, rate, lag delta") {
+    val df = graft.PagesQueries.queries("q61_dashboard_stats")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 4) // one per snapshot group
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 300) // every page accounted once
+    assert(rows.forall(_.getAs[Double]("success_rate") == 100.0))
+    assert(rows.forall(_.getAs[Double]("avg_ms_per_doc") >= 0.0))
+    // lag semantics: first snapshot has no predecessor; each delta checks out
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_docs")))
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("prev_docs") == a.getAs[Long]("n_docs"))
+        assert(b.getAs[Long]("delta_docs") == b.getAs[Long]("n_docs") - a.getAs[Long]("n_docs"))
+      case _ =>
+    }
+  }
+
   test("two-sheet export: metadata + products projections (K3/K4)") {
     val out = tmpDir()
     val extracted = ExtractStage.generateAndExtract(spark, 100, partitions = 4).toDF()
