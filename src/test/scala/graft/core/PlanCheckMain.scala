@@ -26,6 +26,11 @@ object PlanCheckMain {
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)
+      // execute the plan itself (not a derived count) so AQE settles on
+      // the FINAL physical plan — before execution the adaptive plan
+      // string hides join choices and WholeStageCodegen spans
+      try df.queryExecution.executedPlan.execute().count()
+      catch { case _: Throwable => () }
       val plan = df.queryExecution.executedPlan.toString
       val formatted = try {
         val sw = new java.io.StringWriter()
@@ -33,12 +38,18 @@ object PlanCheckMain {
         sw.toString
       } catch { case _: Throwable => "" }
 
-      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toList.distinct
-      val readSchema = "ReadSchema: [^,\n]*".r.findFirstIn(plan).getOrElse("")
+      // audit the FINAL (post-AQE) plan half only — the Initial Plan
+      // section repeats every operator and would double-count
+      val finalHalf = plan.split("== Initial Plan ==").head
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(finalHalf).toList.distinct
+      val readSchema = "ReadSchema: [^,\n]*".r.findFirstIn(finalHalf).getOrElse("")
       val joins = List("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-        "BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
-      val nWsc = "WholeStageCodegen".r.findAllIn(plan).length
-      val exchanges = "Exchange".r.findAllIn(plan).length
+        "BroadcastNestedLoopJoin", "CartesianProduct").filter(finalHalf.contains)
+      // whole-stage codegen shows as "*(n)" operator prefixes; count
+      // DISTINCT stage ids
+      val nWsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(finalHalf).map(_.group(1)).toSet.size
+      val exchanges = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
+        .findAllIn(finalHalf).length
 
       println(s"=== ${q.name}")
       println(s"  joins=$joins exchanges=$exchanges codegenSpans=$nWsc")
