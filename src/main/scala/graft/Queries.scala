@@ -733,6 +733,19 @@ object Queries {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
         "WHERE rnk <= 3")),
 
+    // IVF ANN: trained centroids → inverted lists → multi-probe search.
+    // The scale path when no natural bucket column exists (q35 uses the
+    // label; this trains its own coarse quantizer). No SQL oracle (k-means
+    // isn't expressible in DuckDB) — recall vs brute force is pinned in
+    // IvfSpec; the driver records a rows-only check.
+    Q("q48_knn_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = graft.pipeline.Ivf.train(e, c = 16, iters = 2)
+        graft.pipeline.Ivf.search(e, centroids, col("vec_id") < 5, k = 5, nProbe = 4)
+      },
+      None),
+
     // duplicate-cluster canonicalization: connected components over the
     // LSH candidate-pair graph (the step that turns pairwise dedup signals
     // into keep/drop decisions). Spark side: iterative min-label

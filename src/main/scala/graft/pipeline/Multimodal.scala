@@ -76,6 +76,75 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      url: String,
+      media_type: String,
+      orig_w: Int, orig_h: Int,
+      new_w: Int, new_h: Int,
+      payload: Array[Byte]) // STUB-resampled bytes
+
+  /** Resize stage: the aspect-preserving dimension math (what a real
+    * resize computes) is REAL; only the pixel resampling is stubbed (a
+    * deterministic byte decimation standing in for the codec call).
+    * Output schema is the production shape: typed metadata + binary.
+    */
+  def resizeStage(pages: Dataset[Page], maxDim: Int): Dataset[ResizedMedia] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      it.map { p =>
+        val kind = sniff(p.html)
+        val (w, h, _, _) = stubDecode(p.html)
+        // real logic: cap the longest side at maxDim, preserve aspect,
+        // never upscale, round half-up, floor at 1px; a 0x0 (empty/
+        // undecodable) payload passes through as 0x0
+        val scale = if (w <= 0 || h <= 0) 1.0
+          else math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = if (w <= 0) 0 else math.max(1, math.round(w * scale).toInt)
+        val nh = if (h <= 0) 0 else math.max(1, math.round(h * scale).toInt)
+        // ======== STUB ======== byte decimation in place of resampling
+        val ratio = math.max(1, (w.toLong * h / math.max(1L, nw.toLong * nh)).toInt)
+        val bytes = if (p.html == null) Array.empty[Byte]
+          else p.html.indices.collect { case i if i % ratio == 0 => p.html(i) }.toArray
+        // ======== END STUB ========
+        ResizedMedia(p.url, kind, w, h, nw, nh, bytes)
+      }
+    }
+  }
+
+  final case class Frame(
+      url: String,
+      frame_idx: Int,
+      frame_ts_ms: Long,
+      frame: Array[Byte]) // STUB frame bytes
+
+  /** Frame-sampling stage: one output row per sampled frame (the flatMap
+    * generator shape a video pipeline needs — row counts multiply, so the
+    * stage must stream, never buffer a whole video's frames). Frame
+    * timing/count math is real; frame content is stubbed.
+    */
+  def frameSampleStage(pages: Dataset[Page], everyMs: Long, maxFrames: Int = 32): Dataset[Frame] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      it.flatMap { p =>
+        val (_, _, durMs, _) = stubDecode(p.html)
+        if (durMs <= 0) Iterator.empty
+        else {
+          val n = math.min(maxFrames.toLong, durMs / everyMs + 1).toInt
+          // stream frames lazily: O(1) memory per in-flight frame
+          (0 until n).iterator.map { i =>
+            val ts = i * everyMs
+            // ======== STUB ======== deterministic fake frame bytes
+            val b = Array.tabulate(16)(j => ((ts + j) % 251).toByte)
+            // ======== END STUB ========
+            Frame(p.url, i, ts, b)
+          }
+        }
+      }
+    }
+  }
+
   /** Feature-space near-dup over the stub features: cosine similarity via
     * the same HOF pattern as the embeddings KNN (shares the scale path).
     */

@@ -20,6 +20,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.sniff(null) == "unknown")
   }
 
+  test("resize stage: aspect-preserving cap, never upscales, 1px floor") {
+    val pages = ExtractStage.generatePages(spark, 80, partitions = 4)
+    val metaByUrl = Multimodal.decodeStage(pages).collect().map(m => m.url -> m).toMap
+    val resized = Multimodal.resizeStage(pages, maxDim = 128).collect()
+    assert(resized.length == 80)
+    resized.foreach { r =>
+      val m = metaByUrl(r.url)
+      assert(r.orig_w == m.width && r.orig_h == m.height)
+      assert(math.max(r.new_w, r.new_h) <= 128)
+      assert((r.new_w >= 1 && r.new_h >= 1) || (r.orig_w == 0 && r.orig_h == 0))
+      // no upscaling: dims <= originals; aspect preserved within rounding
+      assert(r.new_w <= r.orig_w && r.new_h <= r.orig_h)
+      if (math.max(r.orig_w, r.orig_h) > 128) {
+        val want = r.orig_h.toDouble / r.orig_w
+        val got = r.new_h.toDouble / r.new_w
+        // rounding the short side to an int allows up to ~0.5/shortSide
+        // relative drift
+        assert(math.abs(want - got) / want < 0.1, s"aspect drift for ${r.url}")
+      } else {
+        assert(r.new_w == r.orig_w && r.new_h == r.orig_h) // small stays put
+      }
+    }
+  }
+
+  test("frame sampling: one row per sampled frame, capped, timing exact") {
+    val pages = ExtractStage.generatePages(spark, 60, partitions = 4)
+    val frames = Multimodal.frameSampleStage(pages, everyMs = 40000, maxFrames = 8).collect()
+    val byUrl = frames.groupBy(_.url)
+    byUrl.foreach { case (url, fs) =>
+      assert(fs.length <= 8)
+      val idxs = fs.map(_.frame_idx).sorted
+      assert(idxs.sameElements(idxs.indices)) // dense 0..n-1
+      fs.foreach(f => assert(f.frame_ts_ms == f.frame_idx * 40000L))
+    }
+    assert(frames.nonEmpty)
+  }
+
   test("decode stage emits one typed row per payload with stable features") {
     import spark.implicits._
     val pages = ExtractStage.generatePages(spark, 100, partitions = 4)
