@@ -733,6 +733,59 @@ object Queries {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
         "WHERE rnk <= 3")),
 
+    // SimHash near-dup END-TO-END: 48-bit signature → 4 bands of 12 bits
+    // (candidates = any shared band) → exact Hamming verify via
+    // bit_count(xor) ≤ 3. q33 profiles exact collisions; this is the real
+    // dedup decision shape. At production scale the same query widens to a
+    // 64-bit hash with 16-bit bands — identical plan, bigger band space.
+    Q("q49_simhash_neardup",
+      (s, dir) => {
+        val words = dupCorpus(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
+          .withColumn("h", expr("cast(conv(substr(md5(x), 1, 12), 16, 10) AS BIGINT)"))
+        val bitSums = (0 until 48).map(j =>
+          expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"s$j"))
+        val compose = (0 until 48).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val sh = words.groupBy(col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), expr(compose).as("sh"))
+        val bandExprs = (0 until 4).map(b =>
+          s"$b, (sh >> ${12 * b}) & 4095").mkString(", ")
+        val banded = sh.selectExpr("doc_id", "sh",
+          s"stack(4, $bandExprs) AS (band_id, band_val)")
+        val cand = banded.as("x").join(
+            banded.select(col("doc_id"), col("sh"), col("band_id"), col("band_val")).as("y"),
+            col("x.band_id") === col("y.band_id") && col("x.band_val") === col("y.band_val"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("x.sh").as("sha"),
+            col("y.doc_id").as("b"), col("y.sh").as("shb"))
+          .dropDuplicates("a", "b")
+          .withColumn("ham", expr("bit_count(sha ^ shb)"))
+        cand.agg(count(lit(1)).as("n_candidate_pairs"),
+          sum(when(col("ham") <= 3, 1).otherwise(0)).cast("long").as("n_near_dups"),
+          sum(when(col("ham") === 0, 1).otherwise(0)).cast("long").as("n_exact_sig_dups"))
+      },
+      Some({
+        val sums = (0 until 48).map(j =>
+          s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val compose = (0 until 48).map(j =>
+          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val bandSel = (0 until 4).map(b =>
+          s"SELECT doc_id, sh, $b AS band_id, (sh >> ${12 * b}) & 4095 AS band_val FROM sh").mkString(" UNION ALL ")
+        "WITH words AS (SELECT doc_id, ('0x' || substr(md5(x), 1, 12))::BIGINT AS h FROM " +
+          s"(SELECT doc_id, unnest(string_split(text,' ')) AS x FROM $dupCorpusSql)), " +
+          s"sums AS (SELECT doc_id, $sums FROM words GROUP BY doc_id), " +
+          s"sh AS (SELECT doc_id, $compose AS sh FROM sums), " +
+          s"banded AS ($bandSel), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, x.sh AS sha, y.doc_id AS b, y.sh AS shb " +
+          "FROM banded x JOIN banded y ON x.band_id = y.band_id AND x.band_val = y.band_val " +
+          "AND x.doc_id < y.doc_id) " +
+          "SELECT count(*) AS n_candidate_pairs, " +
+          "CAST(sum(CASE WHEN bit_count(xor(sha, shb)) <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups, " +
+          "CAST(sum(CASE WHEN bit_count(xor(sha, shb)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_sig_dups FROM cand"
+      })),
+
     // IVF ANN: trained centroids → inverted lists → multi-probe search.
     // The scale path when no natural bucket column exists (q35 uses the
     // label; this trains its own coarse quantizer). No SQL oracle (k-means
