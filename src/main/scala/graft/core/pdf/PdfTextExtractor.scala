@@ -170,6 +170,11 @@ object PdfTextExtractor {
                 var k = i + 1; var v = 0; var cnt = 0
                 while (k < n && cnt < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') { v = v * 8 + (s.charAt(k) - '0'); k += 1; cnt += 1 }
                 sb.append(v.toChar); i = k
+              case '\r' =>
+                // backslash-EOL is a line continuation (PDF 32000-1 §7.3.4.2):
+                // both the backslash and the EOL are omitted; \r\n counts as one EOL
+                i += 2; if (i < n && s.charAt(i) == '\n') i += 1
+              case '\n' => i += 2
               case _ => sb.append(e); i += 2
             }
           } else if (ch == '(') { depth += 1; sb.append(ch); i += 1 }

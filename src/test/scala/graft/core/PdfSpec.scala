@@ -38,6 +38,24 @@ class PdfSpec extends AnyFunSuite {
     assert(got == "AAx") // \101 = 'A'; \x → 'x' (unknown escape keeps char)
   }
 
+  test("hex strings decode, with whitespace and odd-length zero-padding") {
+    // <48 65 6C 6C 6F> = "Hello"; odd-length <48656C6C6F2> pads a trailing 0 → "Hello "
+    val content = "BT <48 65 6C 6C 6F> Tj ET".getBytes("ISO-8859-1")
+    assert(PdfTextExtractor.extractFromContent(content) == "Hello")
+    val odd = "BT <48656C6C6F2> Tj ET".getBytes("ISO-8859-1")
+    assert(PdfTextExtractor.extractFromContent(odd) == "Hello ")
+  }
+
+  test("nested balanced parens inside literal strings survive") {
+    val content = "BT (outer (inner (deep)) tail) Tj ET".getBytes("ISO-8859-1")
+    assert(PdfTextExtractor.extractFromContent(content) == "outer (inner (deep)) tail")
+  }
+
+  test("backslash-EOL is a line continuation: both omitted (PDF 7.3.4.2)") {
+    val content = "BT (conti\\\nnued and conti\\\r\nnued again) Tj ET".getBytes("ISO-8859-1")
+    assert(PdfTextExtractor.extractFromContent(content) == "continued and continued again")
+  }
+
   test("non-PDF and garbage bytes return empty, never throw") {
     assert(PdfTextExtractor.extract("%PDF-1.4 garbage".getBytes) == "")
     assert(!PdfTextExtractor.isPdf("<html></html>".getBytes))
