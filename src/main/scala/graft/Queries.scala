@@ -481,6 +481,14 @@ object Queries {
 
   /** Documents unioned with a copy of themselves (ids offset) — the
     * deterministic duplicate corpus the dedup operators run on.
+    *
+    * Deliberately a UNION of two scans, not a single-scan explode: the
+    * downstream work (shingling, minhash) is CPU-bound, and the union
+    * doubles the scan-partition count so that work spreads over twice the
+    * tasks, while a Generate halves it (measured 2× slower on the dup
+    * queries with a small single-file input). The scans themselves are
+    * cheap columnar reads; what must never be recomputed per branch is
+    * the SIGNATURE — each dup query computes it exactly once downstream.
     */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
