@@ -14,6 +14,33 @@ class FunctionsSpec extends AnyFunSuite {
     s
   }
 
+  test("pure-SQL surface: spark.sql over temp views with registered graft functions") {
+    // a reference user's SQL-first path: views + SQL text, no DataFrame API
+    val pages = graft.pipeline.ExtractStage.generatePages(spark, 50, partitions = 4)
+    pages.createOrReplaceTempView("pages_v")
+    val out = spark.sql(
+      """SELECT kind, count(*) AS n, sum(n_spans) AS total_spans,
+        |       human_file_size(sum(n_bytes)) AS total_pretty
+        |FROM (
+        |  SELECT CASE WHEN substring(html, 1, 5) = cast('%PDF-' AS BINARY) THEN 'pdf' ELSE 'html' END AS kind,
+        |         length(html) AS n_bytes,
+        |         size(extract_main_content(html).spans) AS n_spans
+        |  FROM pages_v
+        |) GROUP BY kind ORDER BY kind""".stripMargin).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n")).sum == 50)
+    out.foreach { r =>
+      assert(r.getAs[String]("total_pretty").matches("[0-9.]+ (Bytes|KB|MB|GB)"))
+    }
+    // scalar rules straight from SQL text
+    val scrub = spark.sql(
+      "SELECT scrub_invoice_number(' IN-2024/001 :') AS inv, " +
+        "weight_to_kg('2 QTL') AS kg, strip_code_fences('x ```json {\"a\":1} ``` y') AS fenced")
+      .first()
+    assert(scrub.getAs[Double]("kg") == 200.0)
+    assert(scrub.getAs[String]("fenced") == "{\"a\":1}")
+  }
+
   test("extract_main_content expression equals core output (html + pdf)") {
     import spark.implicits._
     val rows = (0L until 30L).map { i =>
