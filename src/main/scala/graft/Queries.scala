@@ -748,16 +748,14 @@ object Queries {
     // 64-bit hash with 16-bit bands — identical plan, bigger band space.
     Q("q49_simhash_neardup",
       (s, dir) => {
-        val words = dupCorpus(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("x"))
-          .withColumn("h", expr("cast(conv(substr(md5(x), 1, 12), 16, 10) AS BIGINT)"))
-        val bitSums = (0 until 48).map(j =>
-          expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"s$j"))
-        val compose = (0 until 48).map(j =>
-          s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-        val sh = words.groupBy(col("doc_id"))
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), expr(compose).as("sh"))
+        // signature via the native SimHash48 Catalyst expression: one
+        // codegen'd scalar pass per document instead of explode-words →
+        // 48 conditional sums → recompose (removes two shuffles; exact
+        // bit-parity with the SQL formula is pinned in FunctionsSpec and
+        // by this query's own DuckDB oracle)
+        graft.functions.GraftFunctions.register(s)
+        val sh = dupCorpus(s, dir)
+          .select(col("doc_id"), expr("simhash48(text)").as("sh"))
         val bandExprs = (0 until 4).map(b =>
           s"$b, (sh >> ${12 * b}) & 4095").mkString(", ")
         val banded = sh.selectExpr("doc_id", "sh",

@@ -64,6 +64,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_main_content", exprs => ExtractMainContent(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash48", exprs => SimHash48(exprs.head), "built-in")
     spark.udf.register("identify_pattern", identifyPattern)
     spark.udf.register("identify_pattern_confidence", identifyPatternConfidence)
     spark.udf.register("weight_to_kg", weightToKg)

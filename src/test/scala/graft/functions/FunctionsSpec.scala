@@ -41,6 +41,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(scrub.getAs[String]("fenced") == "{\"a\":1}")
   }
 
+  test("simhash48 expression bit-matches the SQL aggregate formula on real docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the SQL formulation q49 used before the native expression: explode
+    // single-space tokens (split keeps empties), ±1 vote per bit of the
+    // first-12-hex md5 value, bit set iff sum > 0
+    val words = docs.select($"doc_id", explode(split($"text", " ")).as("x"))
+      .withColumn("h", expr("cast(conv(substr(md5(x), 1, 12), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 48).map(j =>
+      expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"s$j"))
+    val compose = (0 until 48).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sqlSide = words.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", expr(compose).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    val exprSide = docs.select($"doc_id", expr("simhash48(text)").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(exprSide.size == sqlSide.size && exprSide.nonEmpty)
+    exprSide.foreach { case (id, sh) =>
+      assert(sh == sqlSide(id), s"doc $id: expression $sh != sql ${sqlSide(id)}")
+    }
+    // empty tokens / edge strings
+    val edge = Seq("", " ", "a", "a  b ").toDF("text")
+      .select(expr("simhash48(text)").as("sh")).as[Long].collect()
+    assert(edge.length == 4) // total, no throw; values pinned by parity above
+  }
+
   test("extract_main_content expression equals core output (html + pdf)") {
     import spark.implicits._
     val rows = (0L until 30L).map { i =>
