@@ -92,6 +92,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[ExtractMainContent].getName, "extract_main_content"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ExtractMainContent(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash48"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHash48].getName, "simhash48"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash48(exprs.head)))
   }
 }
 
