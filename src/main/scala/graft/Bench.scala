@@ -33,6 +33,14 @@ object Bench {
     val spark = mkSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
+    // JIT warmup BEFORE the timed loop: the regex-heavy extract core is
+    // ~50× slower interpreted, so the first query to touch it (q50) would
+    // otherwise be charged several seconds of compiler time that no steady-
+    // state run pays (same discipline as ScalingBench; BENCH.md methodology)
+    graft.pipeline.ExtractStage
+      .generateAndExtract(spark, 6000, partitions = cpus.toInt * 2)
+      .select("success").filter("success").count()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }

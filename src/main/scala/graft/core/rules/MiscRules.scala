@@ -48,7 +48,10 @@ object MiscRules {
     val i = math.min(sizes.length - 1,
       math.floor(math.log(bytes.toDouble) / math.log(1024.0)).toInt)
     val v = bytes.toDouble / math.pow(1024.0, i)
-    val fixed = f"$v%.2f" // toFixed(2) (HALF_UP at this scale)
+    // toFixed(2) (HALF_UP at this scale); Locale.ROOT pins the '.' decimal
+    // separator — the default-locale formatter emits "1,50" under e.g.
+    // de_DE and the trim below (which looks for '.') never fires
+    val fixed = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val trimmed =
       if (fixed.contains('.')) fixed.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else fixed

@@ -19,21 +19,35 @@ object Dedup {
     * Convergence test: each round min-label propagation is monotone
     * non-increasing per vertex, so the checksum `sum(comp)` strictly
     * decreases until the fixpoint — one cheap aggregate per round instead
-    * of a self-join change count. Rounds = O(graph diameter); `maxIters`
-    * is a runaway guard only (throws rather than returning a wrong answer).
+    * of a self-join change count. The sum is taken in decimal(38,0), NOT
+    * long: the API is generic over long ids (e.g. xxhash64 vertex ids),
+    * and a wrapping 64-bit sum could in principle alias a non-converged
+    * round; decimal(38,0) holds the exact sum of 10^19 full-range longs.
+    * Rounds = O(graph diameter); `maxIters` is a runaway guard only
+    * (throws rather than returning a wrong answer).
     *
     * @param vertices one column `id` (long)
     * @param edges    columns `src`, `dst`; must contain both directions of
     *                 each undirected edge (a symmetric band self-join does)
+    * @param reliable when true, truncate lineage with reliable
+    *                 `checkpoint()` against the session's configured
+    *                 checkpoint dir (survives executor loss on a real
+    *                 cluster) instead of `localCheckpoint` (executor-local
+    *                 blocks: fast, but an executor loss mid-loop kills the
+    *                 lineage-truncated plan). Local mode defaults to the
+    *                 fast path; a cluster deployment at 100 TB should pass
+    *                 true after `spark.sparkContext.setCheckpointDir(...)`.
     * @return (id, comp) with comp = min reachable id
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIters: Int = 60): DataFrame = {
-    var labels = vertices.select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    def checksum(df: DataFrame): Long = {
-      val v = df.agg(sum(col("comp"))).head().get(0)
-      if (v == null) 0L else v.asInstanceOf[Long]
+      maxIters: Int = 60, reliable: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    var labels = cp(vertices.select(col("id"), col("id").as("comp")))
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
     }
     var prev = checksum(labels)
     var iter = 0
@@ -41,13 +55,12 @@ object Dedup {
     while (!done && iter < maxIters) {
       // eager checkpoint per round: an iterative DataFrame loop must
       // truncate lineage or round k re-executes rounds 1..k-1
-      labels = edges.join(labels, edges("src") === labels("id"))
+      labels = cp(edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
         .unionByName(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val s = checksum(labels)
-      done = s == prev
+      done = s.compareTo(prev) == 0
       prev = s
       iter += 1
     }

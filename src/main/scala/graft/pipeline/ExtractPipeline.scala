@@ -84,10 +84,6 @@ object ExtractPipeline {
     val remaining = (0 until numBuckets).filterNot(done)
     if (remaining.isEmpty) return Seq.empty
 
-    // dynamic partition overwrite: re-running a torn group replaces exactly
-    // its buckets, never clobbering committed ones
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     val bucketed = pages
       .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
 
@@ -135,6 +131,11 @@ object ExtractPipeline {
         .withColumn("warc_day", to_date(col("warc_ts")))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("part_bucket", "warc_day")
+        // dynamic partition overwrite: re-running a torn group replaces
+        // exactly its buckets, never clobbering committed ones. Scoped to
+        // THIS write (not the session conf) so callers' later partitioned
+        // writes keep whatever overwrite semantics they expect.
+        .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd") // text-heavy output: zstd ≫ snappy at scale
         // 16 MB row groups: the default 128 MB makes every write task hold
         // a huge column buffer — on faulting-sensitive hosts that's a 2-3x

@@ -48,15 +48,23 @@ object Ivf {
   /** Train: seed centroids are the first `c` vectors by id (deterministic —
     * on a production corpus this is the offline k-means|| job), refined by
     * `iters` Lloyd steps. Returns (cluster, cv).
+    *
+    * @param reliable truncate per-iteration lineage with reliable
+    *                 `checkpoint()` (needs `setCheckpointDir`; survives
+    *                 executor loss on a real cluster) instead of
+    *                 executor-local `localCheckpoint` — same trade-off as
+    *                 [[Dedup.connectedComponents]].
     */
-  def train(emb: DataFrame, c: Int = 16, iters: Int = 2): DataFrame = {
+  def train(emb: DataFrame, c: Int = 16, iters: Int = 2,
+      reliable: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val vecs = emb.select(col("vec_id"),
       expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-    var centroids = vecs.filter(col("vec_id") < c)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-      .localCheckpoint(true)
+    var centroids = cp(vecs.filter(col("vec_id") < c)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv")))
     (0 until iters).foreach { _ =>
-      centroids = lloydStep(vecs, centroids).localCheckpoint(true)
+      centroids = cp(lloydStep(vecs, centroids))
     }
     centroids
   }

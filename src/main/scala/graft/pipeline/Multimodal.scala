@@ -124,6 +124,7 @@ object Multimodal {
     * timing/count math is real; frame content is stubbed.
     */
   def frameSampleStage(pages: Dataset[Page], everyMs: Long, maxFrames: Int = 32): Dataset[Frame] = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
     val spark = pages.sparkSession
     import spark.implicits._
     pages.mapPartitions { it =>

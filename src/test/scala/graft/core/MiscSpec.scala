@@ -48,6 +48,19 @@ class MiscSpec extends AnyFunSuite {
     assert(MiscRules.humanFileSize(1073741824L) == "1 GB")
   }
 
+  test("file sizes are locale-independent (comma-decimal default locale)") {
+    // a de_DE default locale formats 1.5 as "1,50"; the trailing-zero trim
+    // looks for '.' so the UDF would silently emit "1,50 KB" on such an
+    // executor unless the formatter pins Locale.ROOT
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(MiscRules.humanFileSize(1536L) == "1.5 KB")
+      assert(MiscRules.humanFileSize(1126L) == "1.1 KB")
+      assert(MiscRules.humanFileSize(1048576L) == "1 MB")
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   // ---- C6: rate limiter (invoice_processor.py:37-118) ------------------
 
   test("rate limiter throttles at 80% utilization and floors near the cap") {

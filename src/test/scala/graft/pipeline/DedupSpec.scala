@@ -42,6 +42,21 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(5L -> 5L, 6L -> 6L))
   }
 
+  test("reliable checkpointing yields identical labels (cluster-durable path)") {
+    import spark.implicits._
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(cpDir)
+    val vs = (0L to 10L)
+    val v = vs.toDF("id")
+    val es = vs.init.map(i => (i, i + 1L))
+    val e = (es ++ es.map(p => (p._2, p._1))).toDF("src", "dst")
+    val reliable = Dedup.connectedComponents(v, e, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    val local = Dedup.connectedComponents(v, e).as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+    assert(reliable.values.toSet == Set(0L))
+  }
+
   test("two chained band-buckets merge through the shared doc (LSH bridge shape)") {
     // bucket A = {1,2,3}, bucket B = {3,4,5}: doc 3 bridges them
     val vs = Seq(1L, 2L, 3L, 4L, 5L)

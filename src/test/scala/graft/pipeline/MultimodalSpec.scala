@@ -57,6 +57,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("frame sampling rejects non-positive sampling intervals eagerly") {
+    val pages = ExtractStage.generatePages(spark, 4, partitions = 1)
+    // guard fires at plan-build time on the driver, not as an
+    // ArithmeticException inside an executor task
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSampleStage(pages, everyMs = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSampleStage(pages, everyMs = -5)
+    }
+  }
+
   test("decode stage emits one typed row per payload with stable features") {
     import spark.implicits._
     val pages = ExtractStage.generatePages(spark, 100, partitions = 4)
