@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Near-dup cluster labels for a text corpus: MinHash over 3-gram word
+    * SHINGLES → one LSH band (two hash seeds) → STAR edges (every doc → its
+    * band bucket's min id: same components as the full clique with O(k)
+    * edges per bucket instead of O(k²), so a hot boilerplate bucket can't
+    * explode edge generation at corpus scale) → connected components.
+    *
+    * Shingles, not unigrams: with a small shared vocabulary unigram minhash
+    * collides nearly all docs into one band (a 42M-edge clique at sf0.1);
+    * 3-gram shingles keep buckets tight. Docs with fewer than 3 words have
+    * no shingle signature and are NOT labeled — callers treat them as
+    * trivially-unique singletons (CuratedPipeline keeps them).
+    *
+    * This is the single clustering implementation shared by the q44/q46
+    * analysis queries and the curated-corpus pipeline, so the keep/drop
+    * decision the pipeline materializes is pinned by the same recursive-CTE
+    * oracle that checks the analysis queries.
+    *
+    * @return (id, comp) for every doc with ≥3 words; comp = min reachable id
+    */
+  def minhashClusterLabels(corpus: DataFrame, idCol: String, textCol: String,
+      reliable: Boolean = false): DataFrame = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val d = corpus
+      .withColumn("wrd", split(col(textCol), " "))
+      .filter(size(col("wrd")) >= 3)
+      .withColumn("w", array_distinct(expr(
+        "transform(sequence(0, size(wrd)-3), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2), element_at(wrd,i+3)))")))
+    val banded = d.select(col(idCol).as("id"), md5(concat_ws("_",
+      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
+      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
+    val bandedC = cp(banded) // minhash computed once
+    val hubs = bandedC.groupBy(col("band")).agg(min(col("id")).as("hub"))
+    val star = bandedC.join(hubs, Seq("band"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("id").as("src"), col("hub").as("dst"))
+    val edges = cp(star
+      .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    connectedComponents(bandedC.select(col("id")), edges, reliable = reliable)
+  }
+
   /** Connected components over an edge list via iterative min-label
     * propagation, run to a FIXPOINT rather than a fixed round count — a
     * hardcoded iteration budget silently under-converges once duplicate

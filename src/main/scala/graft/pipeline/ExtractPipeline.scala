@@ -54,7 +54,7 @@ object ExtractPipeline {
     }.toSet
   }
 
-  private def appendManifest(outDir: String, runId: String, snapshotId: String,
+  private[pipeline] def appendManifest(outDir: String, runId: String, snapshotId: String,
       buckets: Seq[Int], lineage: Seq[LineageRow]): Unit = {
     val dir = Paths.get(outDir, "_manifest")
     Files.createDirectories(dir)

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+// top-level for Spark encoder derivation (local case classes lack TypeTags)
+final case class CurDoc(id: Long, url: String, warc_ts: java.sql.Timestamp,
+    text: String, src: String)
+
+class CuratedPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("curated-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-curated-spec").toString
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Known duplicate structure: two exact-dup clusters, two unique long
+    * docs, two short (<3 words, unshingleable) docs.
+    */
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), "the quick brown fox jumps over the lazy dog", "a"),
+      CurDoc(11L, "u11", ts("2024-03-01 11:00:00"), "the quick brown fox jumps over the lazy dog", "a"),
+      CurDoc(12L, "u12", ts("2024-03-02 09:00:00"), "the quick brown fox jumps over the lazy dog", "b"),
+      CurDoc(20L, "u20", ts("2024-03-01 10:00:00"), "pack my box with five dozen liquor jugs today", "a"),
+      CurDoc(21L, "u21", ts("2024-03-03 10:00:00"), "pack my box with five dozen liquor jugs today", "b"),
+      CurDoc(30L, "u30", ts("2024-03-01 10:00:00"), "sphinx of black quartz judge my vow quickly now", "a"),
+      CurDoc(31L, "u31", ts("2024-03-02 10:00:00"), "how vexingly quick daft zebras jump around here", "b"),
+      CurDoc(40L, "u40", ts("2024-03-01 10:00:00"), "hi", "a"),
+      CurDoc(41L, "u41", ts("2024-03-02 10:00:00"), "ok then", "b")
+    ).toDF()
+  }
+
+  test("curate keeps the min-id canonical per cluster plus short singletons") {
+    import spark.implicits._
+    val out = tmpDir()
+    val lineage = CuratedPipeline.run(spark, corpus(), out,
+      numBuckets = 8, snapshotGroups = 2, runId = "keep")
+    val kept = CuratedPipeline.readKept(spark, out)
+    val ids = kept.select($"id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(10L, 20L, 30L, 31L, 40L, 41L)),
+      s"kept set wrong: ${ids.mkString(",")}")
+    // lineage accounts for exactly the kept rows
+    assert(lineage.map(_.input_rows).sum == 6)
+    assert(lineage.forall(l => l.fail_rows == 0 && l.status == "committed"))
+    // passthrough columns and layout survive
+    assert(kept.columns.toSet ==
+      Set("id", "url", "warc_ts", "text", "src", "part_bucket", "warc_day"))
+    val bucketDirs = new java.io.File(s"$out/data").listFiles().filter(_.isDirectory)
+    assert(bucketDirs.forall(_.getName.startsWith("part_bucket=")))
+
+    // kept corpus is dedup-closed: re-clustering it finds only singletons
+    // (two canonicals can never band-collide — a collision would have made
+    // them one component in the original clustering)
+    val relab = Dedup.minhashClusterLabels(kept, "id", "text")
+      .as[(Long, Long)].collect()
+    assert(relab.forall { case (id, comp) => id == comp },
+      s"kept corpus must have no duplicate clusters, got ${relab.mkString(",")}")
+  }
+
+  test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
+    import spark.implicits._
+    val outClean = tmpDir(); val outTorn = tmpDir()
+
+    CuratedPipeline.run(spark, corpus(), outClean,
+      numBuckets = 8, snapshotGroups = 4, runId = "clean")
+
+    // simulate a kill after 2 of 4 snapshots
+    CuratedPipeline.run(spark, corpus(), outTorn,
+      numBuckets = 8, snapshotGroups = 4, runId = "t1")
+    val mf = Paths.get(outTorn, "_manifest", "manifest.jsonl")
+    val lines = Files.readAllLines(mf)
+    Files.write(mf, String.join("\n", lines.subList(0, 2)).concat("\n").getBytes("UTF-8"))
+    assert(ExtractPipeline.committedBuckets(outTorn).size == 4)
+
+    val resumed = CuratedPipeline.run(spark, corpus(), outTorn,
+      numBuckets = 8, snapshotGroups = 4, runId = "t2")
+    assert(resumed.nonEmpty)
+    assert(ExtractPipeline.committedBuckets(outTorn).size == 8)
+
+    val clean = CuratedPipeline.readKept(spark, outClean)
+      .select($"id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    val torn = CuratedPipeline.readKept(spark, outTorn)
+      .select($"id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    assert(clean.sameElements(torn), "resumed kept corpus must equal clean run")
+  }
+
+  test("flagship composition: pages → extract table → quality gate → kept corpus, torn at either stage") {
+    import spark.implicits._
+    val n = 300L
+    val pages = ExtractStage.generatePages(spark, n, partitions = 8)
+
+    val outClean = tmpDir()
+    val (el, cl) = CuratedPipeline.runFromPages(spark, pages, outClean,
+      numBuckets = 8, snapshotGroups = 4, runId = "clean")
+    assert(el.map(_.input_rows).sum == n)
+    val keptClean = CuratedPipeline.readKept(spark, s"$outClean/curated")
+      .select($"url", $"extracted_text").as[(String, String)].collect().sortBy(_._1)
+    assert(keptClean.nonEmpty)
+    assert(cl.map(_.input_rows).sum == keptClean.length,
+      "curate lineage must account for exactly the kept rows")
+
+    // every kept row passed the quality gate (success=true survives the read)
+    assert(CuratedPipeline.readKept(spark, s"$outClean/curated")
+      .filter(!$"success").count() == 0)
+
+    // torn during CURATE: extract complete, curated manifest truncated
+    val outT1 = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outT1,
+      numBuckets = 8, snapshotGroups = 4, runId = "t1")
+    val mfC = Paths.get(outT1, "curated", "_manifest", "manifest.jsonl")
+    val linesC = Files.readAllLines(mfC)
+    Files.write(mfC, String.join("\n", linesC.subList(0, 1)).concat("\n").getBytes("UTF-8"))
+    CuratedPipeline.runFromPages(spark, pages, outT1,
+      numBuckets = 8, snapshotGroups = 4, runId = "t1r")
+    val keptT1 = CuratedPipeline.readKept(spark, s"$outT1/curated")
+      .select($"url", $"extracted_text").as[(String, String)].collect().sortBy(_._1)
+    assert(keptClean.sameElements(keptT1),
+      "curate-stage torn run must converge to the clean kept corpus")
+
+    // torn during EXTRACT: curate stage never started
+    val outT2 = tmpDir()
+    ExtractPipeline.run(spark, pages, s"$outT2/extract",
+      numBuckets = 8, snapshotGroups = 4, runId = "t2")
+    val mfE = Paths.get(outT2, "extract", "_manifest", "manifest.jsonl")
+    val linesE = Files.readAllLines(mfE)
+    Files.write(mfE, String.join("\n", linesE.subList(0, 2)).concat("\n").getBytes("UTF-8"))
+    CuratedPipeline.runFromPages(spark, pages, outT2,
+      numBuckets = 8, snapshotGroups = 4, runId = "t2r")
+    val keptT2 = CuratedPipeline.readKept(spark, s"$outT2/curated")
+      .select($"url", $"extracted_text").as[(String, String)].collect().sortBy(_._1)
+    assert(keptClean.sameElements(keptT2),
+      "extract-stage torn run must converge to the clean kept corpus")
+  }
+}
