@@ -135,6 +135,21 @@ object PagesQueries {
           col("invoice_number"), col("text_length"))
     }),
 
+    // S7's combined lookup over the committed table: the exact probe (a
+    // statically-pruned 1-bucket read) misses — ".html" stripped — so the
+    // prefix fallback scans for startswith matches (app.py:451-456 shape;
+    // the fallback half cannot bucket-prune under hash bucketing, see
+    // ExtractPipeline.lookupWithPrefixFallback)
+    "q63_prefix_fallback" -> ((s, dir) => {
+      val out = committedOut(s, dir)
+      val prefix = graft.pipeline.PageGen
+        .url(graft.pipeline.PageGen.DefaultSeed, 7L).stripSuffix(".html")
+      graft.pipeline.ExtractPipeline
+        .lookupWithPrefixFallback(s, out, prefix, numBuckets = 16)
+        .select(col("url"), col("success"), col("text_length"))
+        .orderBy(col("url"))
+    }),
+
     // days(warc_ts) pruning: a 3-day window over the committed table reads
     // only the matching warc_day directories in each bucket
     "q60_day_range_pruned" -> ((s, dir) => {

@@ -563,6 +563,48 @@ object Queries {
       "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
       "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) "
 
+  /** The q48 oracle: `Ivf.train(iters=2)` + `Ivf.search` expressed as one
+    * DuckDB CTE chain. The two Lloyd refinements are UNROLLED — with the
+    * iteration count a literal, each round is just (distance-ranked
+    * assignment, per-dimension mean) over the long-form exploded vectors,
+    * and nothing about k-means remains inexpressible. Assignment ties
+    * break (d2, cluster) and the probe/top-k ranks tie-break exactly like
+    * the Spark side. Clusters that lose all members simply vanish from the
+    * next round's centroid table in both engines.
+    */
+  private def ivfOracleSql(c: Int, k: Int, nProbe: Int): String = {
+    def assignStep(dName: String, aName: String, cents: String): String =
+      s"$dName AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
+        s"FROM e JOIN $cents c ON e.i=c.i GROUP BY 1,2), " +
+        s"$aName AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM $dName) WHERE rn=1)"
+    def meanStep(cName: String, assigned: String): String =
+      s"$cName AS (SELECT a.cluster, e.i, avg(e.v) AS cv " +
+        s"FROM $assigned a JOIN e ON e.vec_id=a.vec_id GROUP BY 1,2)"
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, " +
+      "unnest(embedding)::DOUBLE AS v FROM embeddings), " +
+      s"c0 AS (SELECT vec_id::INT AS cluster, i, v AS cv FROM e WHERE vec_id < $c), " +
+      assignStep("d1", "a1", "c0") + ", " + meanStep("c1", "a1") + ", " +
+      assignStep("d2s", "a2", "c1") + ", " + meanStep("c2", "a2") + ", " +
+      // final assignment doubles as inverted lists AND probe distances
+      "d3 AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
+      "FROM e JOIN c2 c ON e.i=c.i GROUP BY 1,2), " +
+      "lists AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3) WHERE rn=1), " +
+      "probes AS (SELECT vec_id AS query_id, cluster FROM (SELECT vec_id, cluster, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS prk FROM d3 WHERE vec_id < 5) " +
+      s"WHERE prk <= $nProbe), " +
+      "cand AS (SELECT p.query_id, l.vec_id AS neighbor_id FROM probes p " +
+      "JOIN lists l ON l.cluster = p.cluster WHERE p.query_id <> l.vec_id), " +
+      "cosd AS (SELECT c.query_id, c.neighbor_id, " +
+      "round(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))), 6) AS cos " +
+      "FROM cand c JOIN e a ON a.vec_id = c.query_id " +
+      "JOIN e b ON b.vec_id = c.neighbor_id AND b.i = a.i GROUP BY 1,2) " +
+      "SELECT query_id, rnk, neighbor_id, cos FROM (SELECT query_id, neighbor_id, cos, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM cosd) " +
+      s"WHERE rnk <= $k"
+  }
+
   /** 16-bit simhash over words: bit j of first-4-hex of md5(word); per-doc
     * sum of ±1 per bit; simhash = OR of positive bits. Both dialects
     * generate their bit terms from the same loop so the formulas cannot
@@ -807,16 +849,19 @@ object Queries {
 
     // IVF ANN: trained centroids → inverted lists → multi-probe search.
     // The scale path when no natural bucket column exists (q35 uses the
-    // label; this trains its own coarse quantizer). No SQL oracle (k-means
-    // isn't expressible in DuckDB) — recall vs brute force is pinned in
-    // IvfSpec; the driver records a rows-only check.
+    // label; this trains its own coarse quantizer). The trainer is
+    // deterministic (seed = first 16 vectors, exactly 2 Lloyd steps), so
+    // the WHOLE thing is oracle-able: the fixed iteration count unrolls
+    // into two assign→mean CTE pairs over the long-form (vec_id, i, v)
+    // representation, then the multi-probe search is ranking SQL like q34.
+    // Recall vs brute force is additionally pinned in IvfSpec.
     Q("q48_knn_ivf",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val centroids = graft.pipeline.Ivf.train(e, c = 16, iters = 2)
         graft.pipeline.Ivf.search(e, centroids, col("vec_id") < 5, k = 5, nProbe = 4)
       },
-      None),
+      Some(ivfOracleSql(c = 16, k = 5, nProbe = 4))),
 
     // duplicate-cluster canonicalization: connected components over the
     // LSH candidate-pair graph (the step that turns pairwise dedup signals

@@ -171,6 +171,28 @@ object ExtractPipeline {
       .filter(col("part_bucket") === pmod(xxhash64(lit(url)), lit(numBuckets)).cast("int")
         && col("url") === url)
 
+  /** S7's combined storage shape (reference /root/reference/app.py:451-456:
+    * exact-id lookup, then `startswith` scan when nothing matches): probe
+    * the exact url first — a statically-pruned ONE-bucket read — and only
+    * on a miss fall back to a prefix scan.
+    *
+    * The fallback half CANNOT bucket-prune: `part_bucket =
+    * pmod(xxhash64(url))` hashes the FULL url, so a prefix determines no
+    * bucket and the prefix scan reads every bucket (it still day-prunes if
+    * the caller adds a time predicate). That asymmetry is the hash-
+    * bucketing trade: uniform balance and O(1) exact probes at the cost of
+    * prefix locality — an Iceberg `truncate(url)` partition transform makes
+    * the opposite trade. Probing exact-first means the common case (id
+    * known) never pays the full scan.
+    */
+  def lookupWithPrefixFallback(spark: SparkSession, outDir: String,
+      urlOrPrefix: String, numBuckets: Int = 32) = {
+    val exact = pointLookup(spark, outDir, urlOrPrefix, numBuckets)
+    if (!exact.isEmpty) exact
+    else readOutput(spark, outDir)
+      .filter(col("url").startsWith(urlOrPrefix))
+  }
+
   /** Day-range scan: prunes on the `days(warc_ts)` hidden partition, so a
     * time-window query reads only the matching day directories in each
     * bucket instead of the whole corpus.

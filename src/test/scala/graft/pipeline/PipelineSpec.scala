@@ -138,6 +138,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(ranged.count() == full)
   }
 
+  test("prefix-fallback lookup: exact half prunes to one bucket; fallback scans all (hash-bucket asymmetry)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 400, partitions = 8)
+    ExtractPipeline.run(spark, pages, out, numBuckets = 16, snapshotGroups = 2, runId = "pf")
+    val outTable = ExtractPipeline.readOutput(spark, out)
+    val totalParts = outTable.select("part_bucket", "warc_day").distinct().count()
+
+    // exact HIT: identical to pointLookup — statically pruned to one bucket
+    val u = PageGen.url(PageGen.DefaultSeed, 7L)
+    val hit = ExtractPipeline.lookupWithPrefixFallback(spark, out, u, numBuckets = 16)
+    val hscan = hit.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(hscan.selectedPartitions.partitionCount < totalParts,
+      "exact probe must be a pruned read")
+    val hitRows = hit.collect()
+    assert(hitRows.length == 1 && hitRows.head.getAs[String]("url") == u)
+
+    // exact MISS → prefix fallback: returns every startswith match, but the
+    // scan CANNOT bucket-prune — part_bucket hashes the full url, so a
+    // prefix determines no bucket (the documented hash-bucketing trade)
+    val prefix = u.stripSuffix(".html")
+    val fb = ExtractPipeline.lookupWithPrefixFallback(spark, out, prefix, numBuckets = 16)
+    val expect = outTable.filter(col("url").startsWith(prefix)).count()
+    assert(expect >= 1 && fb.count() == expect)
+    val fscan = fb.queryExecution.sparkPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(fscan.selectedPartitions.partitionCount == totalParts,
+      "prefix fallback necessarily scans every bucket under hash bucketing")
+  }
+
   test("dashboard stats over the lineage manifest (q61): totals, rate, lag delta") {
     val df = graft.PagesQueries.queries("q61_dashboard_stats")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
