@@ -40,8 +40,11 @@ object BlockSegmenter {
     "caption", "dl", "dt", "dd", "address", "center", "fieldset", "legend",
     "option", "select", "button")
 
-  /** Content inside these is dropped entirely. */
-  private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed")
+  /** Content inside these is dropped entirely (textarea: its raw text is a
+    * form field's VALUE, not page content — tokenized correctly as literal
+    * text, then excluded here like every other non-content subtree).
+    */
+  private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed", "textarea")
 
   /** Tags legal inside <head> per the HTML5 tree builder's "in head" mode —
     * any OTHER start tag implicitly closes an open head (</head> is

@@ -61,20 +61,29 @@ object HtmlTokenizer {
       val c = s.charAt(i)
       if (c == '&') {
         val semi = s.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
+        // named refs are short (≤10 incl. '&'); numeric refs may carry long
+        // digit runs that must still resolve (to U+FFFD when out of range)
+        if (semi > i && (semi - i <= 10 ||
+            (s.charAt(i + 1) == '#' && semi - i <= 32))) {
           val body = s.substring(i + 1, semi)
+          // HTML5 numeric-reference replacement: NUL, surrogates, and
+          // out-of-range code points become U+FFFD (browsers never emit a
+          // raw NUL or unpaired surrogate into the DOM); non-numeric
+          // bodies stay literal text
+          def appendNumeric(digits: String, radix: Int): Boolean =
+            try {
+              val cp = java.lang.Long.parseLong(digits, radix)
+              if (cp < 0) false
+              else if (cp == 0L || (cp >= 0xD800L && cp <= 0xDFFFL) || cp > 0x10FFFFL) {
+                sb.append('�'); true
+              } else { sb.appendCodePoint(cp.toInt); true }
+            } catch { case _: NumberFormatException => false }
           if (body.startsWith("#x") || body.startsWith("#X")) {
-            try {
-              val cp = Integer.parseInt(body.substring(2), 16)
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendNumeric(body.substring(2), 16)) i = semi + 1
+            else { sb.append(c); i += 1 }
           } else if (body.startsWith("#")) {
-            try {
-              val cp = Integer.parseInt(body.substring(1))
-              if (Character.isValidCodePoint(cp)) { sb.appendCodePoint(cp); i = semi + 1 }
-              else { sb.append(c); i += 1 }
-            } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+            if (appendNumeric(body.substring(1), 10)) i = semi + 1
+            else { sb.append(c); i += 1 }
           } else entities.get(body) match {
             case Some(rep) => sb.append(rep); i = semi + 1
             case None      => sb.append(c); i += 1
@@ -143,8 +152,19 @@ object HtmlTokenizer {
           // comment, doctype, or CDATA — skipped entirely
           flushText(i)
           if (html.startsWith("<!--", i)) {
-            val end = html.indexOf("-->", i + 4)
-            i = if (end < 0) n else end + 3
+            // HTML5 comment ends: <!--> and <!---> are complete abruptly-
+            // closed empty comments (the dashes of <!-- double as closing
+            // dashes), and --!> closes a comment too ("incorrectly closed
+            // comment" parse error — browsers recover by closing)
+            if (html.startsWith(">", i + 4)) i += 5
+            else if (html.startsWith("->", i + 4)) i += 6
+            else {
+              val e1 = html.indexOf("-->", i + 4)
+              val e2 = html.indexOf("--!>", i + 4)
+              i = if (e1 < 0 && e2 < 0) n
+                  else if (e2 >= 0 && (e1 < 0 || e2 < e1)) e2 + 4
+                  else e1 + 3
+            }
           } else {
             val end = html.indexOf('>', i)
             i = if (end < 0) n else end + 1

@@ -63,6 +63,43 @@ object GoldenFixtures {
     val p = PageGen.page(seed, i)
     (p.url, ExtractCore.processPage(p.html, p.text))
   }
+
+  /** Hand-written adversarial HTML documents pinned alongside the
+    * generated rows (round-2 verdict: the implied-</head> bug came from
+    * exactly this class of input — each fixture here is a regression pin
+    * for a real-web hardness case the generator never emits).
+    */
+  val edgeDocs: Seq[(String, String)] = {
+    val prose = (1 to 50).map(k => s"sentence$k").mkString(" ")
+    val navLinks = (1 to 8).map(k => s"""<a href="/s$k">Section $k</a>""").mkString(" ")
+    Seq(
+      "nav_soup" ->
+        s"""<html><body><nav>$navLinks</nav><div id=c><p>$prose</p></div><footer>$navLinks <a href=/p>Privacy</a></footer></body></html>""",
+      "abrupt_comment" ->
+        s"""<body><!--><p>$prose</p><!---><p>$prose tail</p><!----></body>""",
+      "bang_closed_comment" ->
+        s"""<body><!-- hidden <p>ghost</p> --!><p>$prose</p></body>""",
+      "cdata_bogus" ->
+        s"""<body><p>$prose</p><![CDATA[hidden > visible-tail words]]><p>$prose</p></body>""",
+      "entity_edges" ->
+        s"""<body><p>$prose &#0; &#xD800; &#x110000; &#999999999999; &#x1F600; &bogus; &amp;lt; fish & chips &amp</p></body>""",
+      "truncated_mid_tag" ->
+        s"""<html><head><title>t</title><body><p>$prose</p><div class="unclosed attr""",
+      "truncated_mid_entity" ->
+        s"""<body><p>$prose &am""",
+      "no_head_close" ->
+        s"""<html><head><title>skip me</title><meta charset=utf-8><p>$prose</p>""",
+      "textarea_raw" ->
+        s"""<body><p>$prose</p><textarea><p>not content</p></textarea><p>$prose again</p></body>""",
+      "comment_unterminated" ->
+        s"""<body><p>$prose</p><!-- swallowed to eof <p>ghost words</p>"""
+    )
+  }
+
+  def computeEdge(name: String): (String, PageResult) = {
+    val html = edgeDocs.find(_._1 == name).get._2
+    (s"edge://$name", ExtractCore.processPage(html.getBytes(UTF_8), ""))
+  }
 }
 
 /** One-time generator: `sbt "Test/runMain graft.core.GoldenGen"`.
@@ -83,6 +120,11 @@ object GoldenGen {
       Files.write(dir.resolve(s"row$i.txt"), r.extractedText.getBytes(UTF_8))
       Files.write(dir.resolve(s"row$i.json"), recordJson(url, r).getBytes(UTF_8))
     }
-    println(s"wrote ${pinnedRows.length} fixture pairs to $dir")
+    edgeDocs.foreach { case (name, _) =>
+      val (url, r) = computeEdge(name)
+      Files.write(dir.resolve(s"edge_$name.txt"), r.extractedText.getBytes(UTF_8))
+      Files.write(dir.resolve(s"edge_$name.json"), recordJson(url, r).getBytes(UTF_8))
+    }
+    println(s"wrote ${pinnedRows.length} row + ${edgeDocs.length} edge fixture pairs to $dir")
   }
 }

@@ -33,4 +33,16 @@ class GoldenSpec extends AnyFunSuite {
         s"record drift on row $i:\nexpected: ${new String(expected, UTF_8).take(600)}\nactual:   ${recordJson(url, r).take(600)}")
     }
   }
+
+  edgeDocs.foreach { case (name, _) =>
+    test(s"edge doc '$name': extracted text and record are byte-identical to fixture") {
+      val (url, r) = computeEdge(name)
+      val expText = Files.readAllBytes(dir.resolve(s"edge_$name.txt"))
+      assert(r.extractedText.getBytes(UTF_8).sameElements(expText),
+        s"edge text drift on $name:\n--- expected\n${new String(expText, UTF_8).take(300)}\n--- actual\n${r.extractedText.take(300)}")
+      val expJson = Files.readAllBytes(dir.resolve(s"edge_$name.json"))
+      assert(recordJson(url, r).getBytes(UTF_8).sameElements(expJson),
+        s"edge record drift on $name")
+    }
+  }
 }

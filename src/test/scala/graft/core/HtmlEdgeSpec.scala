@@ -155,6 +155,85 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(!toks.exists { case HtmlTokenizer.StartTag("p", _, _) => true; case _ => false })
   }
 
+  test("nav link-soup is boilerplate; surrounded content survives (link-density rule)") {
+    // >40 words: the published rules demand MORE words of a block that
+    // follows a link-dense neighbor (nav) before calling it content
+    val prose = Seq.fill(45)("paragraph").mkString(" ")
+    val nav = (1 to 8).map(k => s"""<a href="/s$k">Section $k</a>""").mkString(" ")
+    val html = s"<body><nav>$nav</nav><p>$prose</p><footer>$nav</footer></body>"
+    val text = extractText(html)
+    assert(text.contains("paragraph paragraph"))
+    assert(!text.contains("Section 1"), "pure-link nav must classify as boilerplate")
+    assert(!text.contains("Section 8"), "pure-link footer must classify as boilerplate")
+  }
+
+  test("abruptly-closed comments <!--> and <!---> are complete (HTML5)") {
+    val prose = Seq.fill(20)("kept").mkString(" ")
+    // a naive indexOf("-->", i+4) scanner would eat the paragraph after <!-->
+    assert(extractText(s"<body><!--><p>$prose</p></body>").contains("kept kept"))
+    assert(extractText(s"<body><!---><p>$prose</p></body>").contains("kept kept"))
+    // 4-dash <!----> is an ordinary empty comment
+    assert(extractText(s"<body><!----><p>$prose</p></body>").contains("kept kept"))
+  }
+
+  test("--!> closes a comment (incorrectly-closed-comment recovery)") {
+    val prose = Seq.fill(20)("kept").mkString(" ")
+    val text = extractText(s"<body><!-- hidden words --!><p>$prose</p></body>")
+    assert(!text.contains("hidden"))
+    assert(text.contains("kept kept"))
+  }
+
+  test("comments hide markup: '--' runs and tags inside never tokenize") {
+    val prose = Seq.fill(20)("real").mkString(" ")
+    val html = s"<body><!-- a -- b <script>x</script> <p>ghost</p> --><p>$prose</p></body>"
+    val text = extractText(html)
+    assert(!text.contains("ghost") && !text.contains("x"))
+    assert(text.contains("real real"))
+  }
+
+  test("entity edges: NUL/surrogate/out-of-range numeric refs become U+FFFD, junk stays literal") {
+    import HtmlTokenizer.decodeEntities
+    assert(decodeEntities("a&#0;b") == "a�b")
+    assert(decodeEntities("a&#xD800;b") == "a�b") // unpaired surrogate
+    assert(decodeEntities("a&#x110000;b") == "a�b") // > U+10FFFF
+    assert(decodeEntities("a&#999999999999;b") == "a�b") // long overflow path
+    assert(decodeEntities("a&#x1F600;b") == "a😀b") // astral plane round-trips
+    assert(decodeEntities("&bogusname;") == "&bogusname;") // unknown named ref
+    assert(decodeEntities("&amp") == "&amp") // missing semicolon: literal
+    assert(decodeEntities("fish & chips") == "fish & chips") // bare ampersand
+    assert(decodeEntities("&amp;lt;") == "&lt;") // ONE decode pass, never two
+    assert(decodeEntities("&#x;") == "&#x;") // empty digits: literal
+  }
+
+  test("truncated documents: every byte prefix extracts without exception") {
+    // a real fixture page truncated at every offset — mid-tag, mid-attr,
+    // mid-entity, mid-comment, mid-script, mid-table-IR cuts all included
+    val p = graft.pipeline.PageGen.page(GoldenFixtures.seed, 0L)
+    val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+    var off = 1
+    while (off < html.length) {
+      val prefix = html.substring(0, off)
+      val r = Boilerplate.extract(prefix) // must be total
+      assert(r.text != null)
+      off += (if (off < 2048) 1 else 17)
+    }
+    // and targeted cuts on a hand-built page
+    val doc = """<html><head><title>t</title></head><body><p class="x y" data-k="v">words here and more words</p><table><tr><td>a</td></tr></table></body></html>"""
+    (1 until doc.length).foreach { k =>
+      Boilerplate.extract(doc.substring(0, k))
+    }
+  }
+
+  test("truncated mid-entity / mid-attribute keeps preceding text intact") {
+    val prose = Seq.fill(20)("solid").mkString(" ")
+    val cutEntity = s"<body><p>$prose &am"
+    assert(extractText(cutEntity).contains("solid solid"))
+    val cutAttr = s"""<body><p>$prose</p><div class="unclo"""
+    assert(extractText(cutAttr).contains("solid solid"))
+    val cutTag = s"<body><p>$prose</p><di"
+    assert(extractText(cutTag).contains("solid solid"))
+  }
+
   test("html inside noscript is ignored") {
     val prose = Seq.fill(25)("keep").mkString(" ")
     val html = s"<body><noscript><p>fallback junk</p></noscript><p>$prose</p></body>"

@@ -65,7 +65,8 @@ class PropertySpec extends AnyFunSuite {
       HtmlTokenizer.decodeEntities(s)
     }
     assert(HtmlTokenizer.decodeEntities("&#65;&#x42;") == "AB")
-    assert(HtmlTokenizer.decodeEntities("&#x110000;") == "&#x110000;") // out of range → literal
+    // HTML5 numeric-reference replacement: out-of-range → U+FFFD
+    assert(HtmlTokenizer.decodeEntities("&#x110000;") == "�")
   }
 
   test("boilerplate spans are in-bounds, ordered, non-overlapping, and tile the text") {
