@@ -41,6 +41,19 @@ object Bench {
       .generateAndExtract(spark, 6000, partitions = cpus.toInt * 2)
       .select("success").filter("success").count()
 
+    // throughput measured warm but BEFORE the query suite: the queries pin
+    // session caches (extracted corpus, committed tables, dedup labels)
+    // whose heap pressure would tax a measurement taken after them.
+    // Sized so the timed region runs SECONDS, not sub-second — a 30k-doc
+    // run finishes in ~0.7 s where fixed job overhead (stage setup, task
+    // scheduling) is a double-digit fraction and the record understates
+    // steady-state throughput (BENCH.md methodology; same sizing rule as
+    // ScalingBench)
+    val nDocs = if (sfDir.contains("0.1")) 300000L else 30000L
+    val docsPerSec = math.max(
+      extractionThroughput(spark, nDocs, cpus.toInt * 2),
+      extractionThroughput(spark, nDocs, cpus.toInt * 2))
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
@@ -49,12 +62,6 @@ object Bench {
     // a crashing query must be visible in the JSON, never silently folded
     // into the total as a fast "success"
     val failed = results.collect { case (n, _, false) => n }
-
-    val nDocs = if (sfDir.contains("0.1")) 30000L else 4000L
-    extractionThroughput(spark, 4000, cpus.toInt * 2) // JIT warmup
-    val docsPerSec = math.max(
-      extractionThroughput(spark, nDocs, cpus.toInt * 2),
-      extractionThroughput(spark, nDocs, cpus.toInt * 2))
 
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")

@@ -160,10 +160,18 @@ object HtmlTokenizer {
             else if (html.startsWith("->", i + 4)) i += 6
             else {
               val e1 = html.indexOf("-->", i + 4)
-              val e2 = html.indexOf("--!>", i + 4)
-              i = if (e1 < 0 && e2 < 0) n
-                  else if (e2 >= 0 && (e1 < 0 || e2 < e1)) e2 + 4
-                  else e1 + 3
+              // a --!> close only matters if it appears BEFORE the -->, so
+              // bound its scan at e1 — an unbounded indexOf would rescan to
+              // EOF for every well-formed comment (O(comments × page))
+              val lim = (if (e1 < 0) n else e1) - 3
+              var e2 = -1
+              var k = i + 4
+              while (e2 < 0 && k < lim) {
+                if (html.charAt(k) == '-' && html.charAt(k + 1) == '-' &&
+                    html.charAt(k + 2) == '!' && html.charAt(k + 3) == '>') e2 = k
+                k += 1
+              }
+              i = if (e2 >= 0) e2 + 4 else if (e1 < 0) n else e1 + 3
             }
           } else {
             val end = html.indexOf('>', i)
