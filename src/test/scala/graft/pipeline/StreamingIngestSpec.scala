@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class StreamingIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("streaming-ingest-spec")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-si").toString
+
+  test("streaming ingest commits micro-batches exactly once into the bucketed layout") {
+    import spark.implicits._
+    val src = tmp(); val out = tmp(); val ckpt = tmp()
+
+    // batch 0's input files exist before the stream starts
+    ExtractStage.generatePages(spark, 100, partitions = 4)
+      .write.parquet(s"$src/f0")
+    val pageSchema = implicitly[org.apache.spark.sql.Encoder[Page]].schema
+    val stream = spark.readStream.schema(pageSchema)
+      .option("recursiveFileLookup", "true").parquet(src).as[Page]
+    val q = StreamingIngest.start(stream, out, ckpt, numBuckets = 8)
+    q.processAllAvailable()
+
+    // append more source files → second real micro-batch
+    ExtractStage.generatePages(spark, 220, partitions = 4)
+      .filter(col("url").isin(
+        (100 until 220).map(i => PageGen.url(PageGen.DefaultSeed, i.toLong)): _*))
+      .as[Page].write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+
+    assert(StreamingIngest.committedBatches(out).size >= 2)
+    val committed = StreamingIngest.readCommitted(spark, out)
+    assert(committed.select("url").distinct().count() == 220)
+    assert(committed.count() == 220, "no duplicates across micro-batches")
+
+    // layout: batch prefix, then the same hidden partitioning as batch mode
+    val batchDirs = new java.io.File(s"$out/data").listFiles().filter(_.isDirectory)
+    assert(batchDirs.nonEmpty && batchDirs.forall(_.getName.startsWith("ingest_batch=")))
+    assert(batchDirs.head.listFiles().filter(_.isDirectory)
+      .forall(_.getName.startsWith("part_bucket=")))
+
+    // REPLAY a committed batch (restart-from-checkpoint case): manifest says
+    // committed → no-op, counts unchanged
+    val pages0 = ExtractStage.generatePages(spark, 100, partitions = 4)
+    StreamingIngest.commitBatch(out, numBuckets = 8)(pages0, 0L)
+    assert(StreamingIngest.readCommitted(spark, out).count() == 220)
+
+    // TORN batch: parquet written but manifest line lost (kill between the
+    // two) — drop batch 1's manifest line, replay it, converge exactly
+    val mf = Paths.get(out, "_manifest", "stream_manifest.jsonl")
+    val keep = Files.readAllLines(mf).asScala.filter(_.contains("\"batch_id\":0"))
+    Files.write(mf, (keep.mkString("\n") + "\n").getBytes("UTF-8"))
+    assert(StreamingIngest.readCommitted(spark, out).count() == 100) // torn batch invisible
+    val pages1 = ExtractStage.generatePages(spark, 220, partitions = 4)
+      .filter(col("url").isin(
+        (100 until 220).map(i => PageGen.url(PageGen.DefaultSeed, i.toLong)): _*)).as[Page]
+    StreamingIngest.commitBatch(out, numBuckets = 8)(pages1, 1L)
+    val after = StreamingIngest.readCommitted(spark, out)
+    assert(after.count() == 220, "torn-batch replay must converge without duplicates")
+    assert(after.select("url").distinct().count() == 220)
+
+    // streaming output equals the batch extract stage on the same pages
+    val streamText = after.select($"url", $"extracted_text").as[(String, String)]
+      .collect().toMap
+    val batchText = ExtractStage.run(ExtractStage.generatePages(spark, 220, partitions = 4))
+      .select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    assert(streamText == batchText)
+  }
+}
