@@ -39,7 +39,10 @@ object ExtractCore {
         val t = PdfTextExtractor.extract(html)
         (t, if (t.isEmpty) Vector.empty else Vector(Span("pdf", 0, t.length)))
       } else {
-        val ex = Boilerplate.extract(graft.core.html.HtmlTokenizer.decodeUtf8(html))
+        // charset-sniffed decode (BOM → meta prescan → UTF-8 fallback):
+        // identical to the old UTF-8-only policy for every UTF-8 page,
+        // correct for the windows-1252/shift-jis/... slice of a real crawl
+        val ex = Boilerplate.extract(graft.core.html.CharsetSniffer.decode(html))
         (ex.text, ex.spans)
       }
     if (text.trim.nonEmpty) (text, spans)

@@ -96,9 +96,28 @@ object GoldenFixtures {
     )
   }
 
+  /** The edge corpus as raw payload BYTES: the UTF-8 docs above plus
+    * non-UTF-8 encodings a real crawl carries (the charset-sniffing path
+    * must stay byte-identical too).
+    */
+  lazy val edgeByteDocs: Seq[(String, Array[Byte])] = {
+    val prose = (1 to 50).map(k => s"sentence$k").mkString(" ")
+    edgeDocs.map { case (n, h) => (n, h.getBytes(UTF_8)) } ++ Seq(
+      "charset_1252" ->
+        s"""<html><head><meta charset="iso-8859-1"></head><body><p>$prose café ’curly’ —dash</p></body></html>"""
+          .getBytes("windows-1252"),
+      "charset_sjis" ->
+        s"""<html><head><meta charset=shift_jis></head><body><p>$prose 日本語のテキスト $prose</p></body>"""
+          .getBytes("Shift_JIS"),
+      "charset_utf16le_bom" ->
+        ("﻿" + s"<html><body><p>$prose seize—bits</p></body>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+    )
+  }
+
   def computeEdge(name: String): (String, PageResult) = {
-    val html = edgeDocs.find(_._1 == name).get._2
-    (s"edge://$name", ExtractCore.processPage(html.getBytes(UTF_8), ""))
+    val html = edgeByteDocs.find(_._1 == name).get._2
+    (s"edge://$name", ExtractCore.processPage(html, ""))
   }
 }
 
@@ -120,11 +139,11 @@ object GoldenGen {
       Files.write(dir.resolve(s"row$i.txt"), r.extractedText.getBytes(UTF_8))
       Files.write(dir.resolve(s"row$i.json"), recordJson(url, r).getBytes(UTF_8))
     }
-    edgeDocs.foreach { case (name, _) =>
+    edgeByteDocs.foreach { case (name, _) =>
       val (url, r) = computeEdge(name)
       Files.write(dir.resolve(s"edge_$name.txt"), r.extractedText.getBytes(UTF_8))
       Files.write(dir.resolve(s"edge_$name.json"), recordJson(url, r).getBytes(UTF_8))
     }
-    println(s"wrote ${pinnedRows.length} row + ${edgeDocs.length} edge fixture pairs to $dir")
+    println(s"wrote ${pinnedRows.length} row + ${edgeByteDocs.length} edge fixture pairs to $dir")
   }
 }

@@ -34,7 +34,7 @@ class GoldenSpec extends AnyFunSuite {
     }
   }
 
-  edgeDocs.foreach { case (name, _) =>
+  edgeByteDocs.foreach { case (name, _) =>
     test(s"edge doc '$name': extracted text and record are byte-identical to fixture") {
       val (url, r) = computeEdge(name)
       val expText = Files.readAllBytes(dir.resolve(s"edge_$name.txt"))
