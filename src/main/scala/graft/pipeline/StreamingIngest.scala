@@ -98,4 +98,112 @@ object StreamingIngest {
     if (committed.isEmpty) df.filter(lit(false))
     else df.filter(col("ingest_batch").isin(committed.map(java.lang.Long.valueOf): _*))
   }
+
+  // ---- compaction ---------------------------------------------------------
+  //
+  // Continuous ingestion accretes an ingest_batch=B prefix per micro-batch:
+  // after a day of 1-minute batches a point read prunes to one bucket but
+  // still opens 1440 batch directories of small files. Compaction folds
+  // committed batches into a VERSIONED plain (part_bucket, warc_day) layout:
+  //   compact/v<N>/part_bucket=<b>/warc_day=<d>/…  (≈1 file per partition)
+  // and commits the fold by appending {version, batches} to
+  // compact_manifest.jsonl AFTER the write — the Iceberg snapshot pattern
+  // again. Readers (`readAll`) see compact v<current> ∪ committed batches
+  // not yet folded, so every row is visible exactly once at every point;
+  // a compaction killed before its manifest line is invisible and a replay
+  // rewrites the same deterministic version directory. Single maintenance
+  // writer assumed (as with Iceberg's rewrite_data_files).
+
+  private final case class CompactState(version: Long, folded: Set[Long])
+
+  private def compactState(outDir: String): CompactState = {
+    val mf = Paths.get(outDir, "_manifest", "compact_manifest.jsonl")
+    if (!Files.exists(mf)) return CompactState(0L, Set.empty)
+    val lines = Files.readAllLines(mf).asScala
+    if (lines.isEmpty) return CompactState(0L, Set.empty)
+    var version = 0L
+    val folded = scala.collection.mutable.Set.empty[Long]
+    lines.foreach { line =>
+      val vm = java.util.regex.Pattern.compile("\"version\":(\\d+)").matcher(line)
+      if (vm.find()) version = math.max(version, vm.group(1).toLong)
+      val bm = java.util.regex.Pattern.compile("\"batches\":\\[([0-9,]*)\\]").matcher(line)
+      if (bm.find() && bm.group(1).nonEmpty)
+        folded ++= bm.group(1).split(",").map(_.toLong)
+    }
+    CompactState(version, folded.toSet)
+  }
+
+  /** Fold all committed-but-unfolded batches into the next compact version.
+    * Returns the new version, or the current one if nothing to fold.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      numBuckets: Int = 32): Long = {
+    val st = compactState(outDir)
+    val todo = (committedBatches(outDir) -- st.folded).toSeq.sorted
+    if (todo.isEmpty) return st.version
+    val newRows = spark.read.parquet(s"$outDir/data")
+      .filter(col("ingest_batch").isin(todo.map(java.lang.Long.valueOf): _*))
+    val prev =
+      if (st.version == 0L) None
+      else Some(spark.read.parquet(s"$outDir/compact/v${st.version}"))
+    // (ingest_batch, url) is the row identity → the fold is idempotent even
+    // if a crashed run half-wrote this version before the replay
+    val union = prev.map(_.unionByName(newRows)).getOrElse(newRows)
+      .dropDuplicates("ingest_batch", "url")
+      .repartition(numBuckets, col("part_bucket")) // ≈1 file per bucket dir
+    val next = st.version + 1
+    union.write.mode(SaveMode.Overwrite)
+      .partitionBy("part_bucket", "warc_day")
+      .option("compression", "zstd")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .parquet(s"$outDir/compact/v$next")
+    val dir = Paths.get(outDir, "_manifest")
+    Files.createDirectories(dir)
+    val line = s"""{"version":$next,"batches":[${(st.folded ++ todo).toSeq.sorted.mkString(",")}]}""" + "\n"
+    Files.write(dir.resolve("compact_manifest.jsonl"), line.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    next
+  }
+
+  /** Unified read: current compact version ∪ committed-but-unfolded batches.
+    * Every committed row is visible exactly once regardless of how much has
+    * been compacted.
+    */
+  def readAll(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val st = compactState(outDir)
+    val live = (committedBatches(outDir) -- st.folded).toSeq
+    if (st.version == 0L) readCommitted(spark, outDir)
+    else {
+      val compactDf = spark.read.parquet(s"$outDir/compact/v${st.version}")
+      if (live.isEmpty) compactDf // raw dirs may already be vacuumed
+      else {
+        val liveDf = spark.read.parquet(s"$outDir/data")
+          .filter(col("ingest_batch").isin(live.map(java.lang.Long.valueOf): _*))
+        compactDf.unionByName(liveDf.select(compactDf.columns.map(col): _*))
+      }
+    }
+  }
+
+  /** Delete raw batch directories already folded and compact versions older
+    * than current. Run only when no reader is mid-query (single-writer
+    * maintenance, same caveat as Iceberg's expire_snapshots).
+    */
+  def vacuum(outDir: String): Unit = {
+    val st = compactState(outDir)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.delete(f))
+      }
+    st.folded.foreach { b =>
+      rmTree(Paths.get(outDir, "data", s"ingest_batch=$b"))
+    }
+    val compactRoot = Paths.get(outDir, "compact")
+    if (Files.exists(compactRoot)) {
+      Files.list(compactRoot).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("v") &&
+          p.getFileName.toString.drop(1).toLongOption.exists(_ < st.version))
+        .foreach(rmTree)
+    }
+  }
 }

@@ -78,4 +78,55 @@ class StreamingIngestSpec extends AnyFunSuite {
       .select($"url", $"extracted_text").as[(String, String)].collect().toMap
     assert(streamText == batchText)
   }
+
+  private def slice(from: Int, until: Int) = {
+    import spark.implicits._
+    ExtractStage.generatePages(spark, until.toLong, partitions = 4)
+      .filter(col("url").isin(
+        (from until until).map(i => PageGen.url(PageGen.DefaultSeed, i.toLong)): _*))
+      .as[Page]
+  }
+
+  private def parquetFiles(dir: String): Int = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) 0
+    else Files.walk(root).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+  }
+
+  test("compaction folds batch prefixes into a versioned plain layout; vacuum drops raw dirs") {
+    val out = tmp()
+    StreamingIngest.commitBatch(out, numBuckets = 8)(slice(0, 100), 0L)
+    StreamingIngest.commitBatch(out, numBuckets = 8)(slice(100, 220), 1L)
+    val rawFiles = parquetFiles(s"$out/data")
+
+    val v1 = StreamingIngest.compact(spark, out, numBuckets = 8)
+    assert(v1 == 1L)
+    val all1 = StreamingIngest.readAll(spark, out)
+    assert(all1.count() == 220 && all1.select("url").distinct().count() == 220)
+    // small-file win: ~1 file per (bucket, day) partition vs per (batch, bucket, day)
+    val compFiles = parquetFiles(s"$out/compact/v1")
+    assert(compFiles < rawFiles,
+      s"compaction must shrink file count ($compFiles vs $rawFiles)")
+    // nothing new to fold → version unchanged
+    assert(StreamingIngest.compact(spark, out, numBuckets = 8) == 1L)
+
+    // a batch arriving AFTER compaction stays visible exactly once
+    StreamingIngest.commitBatch(out, numBuckets = 8)(slice(220, 320), 2L)
+    val mixed = StreamingIngest.readAll(spark, out)
+    assert(mixed.count() == 320 && mixed.select("url").distinct().count() == 320)
+    assert(StreamingIngest.compact(spark, out, numBuckets = 8) == 2L)
+    val all2 = StreamingIngest.readAll(spark, out)
+    assert(all2.count() == 320 && all2.select("url").distinct().count() == 320)
+
+    // vacuum: folded raw batch dirs and superseded versions deleted,
+    // the unified read is unaffected
+    StreamingIngest.vacuum(out)
+    assert(!Files.exists(Paths.get(s"$out/data/ingest_batch=0")))
+    assert(!Files.exists(Paths.get(s"$out/data/ingest_batch=2")))
+    assert(!Files.exists(Paths.get(s"$out/compact/v1")))
+    val afterVacuum = StreamingIngest.readAll(spark, out)
+    assert(afterVacuum.count() == 320
+      && afterVacuum.select("url").distinct().count() == 320)
+  }
 }
