@@ -12,10 +12,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Near-dup cluster labels for a text corpus: MinHash over 3-gram word
-    * SHINGLES → one LSH band (two hash seeds) → STAR edges (every doc → its
-    * band bucket's min id: same components as the full clique with O(k)
-    * edges per bucket instead of O(k²), so a hot boilerplate bucket can't
-    * explode edge generation at corpus scale) → connected components.
+    * SHINGLES → `bands` LSH bands of `rowsPerBand` hash mins each → STAR
+    * edges (every doc → its band bucket's min id: same components as the
+    * full clique with O(k) edges per bucket instead of O(k²), so a hot
+    * boilerplate bucket can't explode edge generation at corpus scale) →
+    * connected components.
+    *
+    * Band/row trade (the standard LSH S-curve): two docs collide if ANY
+    * band's `rowsPerBand` mins all agree, so more bands (or fewer rows per
+    * band) raises recall and loosens precision. The default (1 band × 2
+    * rows) is the analysis queries' oracle-pinned configuration; a recall-
+    * oriented production dedup would run e.g. 4×2 — the clustering stays
+    * MONOTONE in bands (every default-config merge survives, property-
+    * tested in DedupSpec). All bands ride ONE scan: the signature projects
+    * every band key in a single pass, then a `stack` generator unpivots
+    * them (the q32 single-scan shape).
     *
     * Shingles, not unigrams: with a small shared vocabulary unigram minhash
     * collides nearly all docs into one band (a 42M-edge clique at sf0.1);
@@ -31,7 +42,8 @@ object Dedup {
     * @return (id, comp) for every doc with ≥3 words; comp = min reachable id
     */
   def minhashClusterLabels(corpus: DataFrame, idCol: String, textCol: String,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false, bands: Int = 1, rowsPerBand: Int = 2): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"need ≥1 band of ≥1 rows, got $bands×$rowsPerBand")
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val d = corpus
@@ -39,9 +51,20 @@ object Dedup {
       .filter(size(col("wrd")) >= 3)
       .withColumn("w", array_distinct(expr(
         "transform(sequence(0, size(wrd)-3), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2), element_at(wrd,i+3)))")))
-    val banded = d.select(col(idCol).as("id"), md5(concat_ws("_",
-      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#0')), 1, 8), 16, 10) AS BIGINT)))").cast("string"),
-      expr("array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#1')), 1, 8), 16, 10) AS BIGINT)))").cast("string"))).as("band"))
+    def minExpr(seed: Int) =
+      expr(s"array_min(transform(w, x -> cast(conv(substr(md5(concat(x, '#$seed')), 1, 8), 16, 10) AS BIGINT)))")
+        .cast("string")
+    val bandCols = (0 until bands).map { b =>
+      val mins = (0 until rowsPerBand).map(r => minExpr(b * rowsPerBand + r))
+      // the band index is part of the key so band 0's bucket space never
+      // collides with band 1's
+      md5(concat_ws("_", (lit(b.toString) +: mins): _*)).as(s"band$b")
+    }
+    val sig = d.select(col(idCol).as("id") +: bandCols: _*)
+    val banded =
+      if (bands == 1) sig.select(col("id"), col("band0").as("band"))
+      else sig.select(col("id"), expr(
+        s"stack($bands, ${(0 until bands).map(b => s"band$b").mkString(",")})").as("band"))
     val bandedC = cp(banded) // minhash computed once
     val hubs = bandedC.groupBy(col("band")).agg(min(col("id")).as("hub"))
     val star = bandedC.join(hubs, Seq("band"))
@@ -50,7 +73,8 @@ object Dedup {
     val edges = cp(star
       .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    connectedComponents(bandedC.select(col("id")), edges, reliable = reliable)
+    connectedComponents(bandedC.select(col("id")).distinct(), edges,
+      reliable = reliable)
   }
 
   /** Connected components over an edge list via iterative min-label

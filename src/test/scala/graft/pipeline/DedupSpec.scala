@@ -42,6 +42,29 @@ class DedupSpec extends AnyFunSuite {
     assert(comp == Map(5L -> 5L, 6L -> 6L))
   }
 
+  test("multi-band LSH is monotone: adding bands (or thinning rows) only merges more") {
+    import spark.implicits._
+    // 20 near-dup variants of a 30-token doc (one token perturbed each)
+    // plus an exact-dup pair that must merge under EVERY configuration
+    val docs = ((0 until 20).map { k =>
+      val words = (1 to 30).map(i => if (i == (k % 15) + 1) s"chg$k" else s"tok$i")
+      (k.toLong, words.mkString(" "))
+    } :+ (100L, (1 to 30).map(i => s"tok$i").mkString(" "))
+      :+ (101L, (1 to 30).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    def pairs(b: Int, r: Int): Set[Set[Long]] = {
+      val m = Dedup.minhashClusterLabels(docs, "doc_id", "text",
+        bands = b, rowsPerBand = r).as[(Long, Long)].collect().toMap
+      m.keys.toSeq.combinations(2)
+        .filter { case Seq(x, y) => m(x) == m(y) }.map(_.toSet).toSet
+    }
+    val p12 = pairs(1, 2) // the oracle-pinned default
+    val p42 = pairs(4, 2) // band 0 of 4×2 IS the 1×2 config → superset
+    val p41 = pairs(4, 1) // 1-row bands: every 4×2 collision implies one here
+    assert(p12.subsetOf(p42), "4×2 must preserve every 1×2 merge")
+    assert(p42.subsetOf(p41), "4×1 must preserve every 4×2 merge")
+    assert(Set(Set(100L, 101L)).subsetOf(p12), "exact dups merge in every config")
+  }
+
   test("reliable checkpointing yields identical labels (cluster-durable path)") {
     import spark.implicits._
     val cpDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
