@@ -796,6 +796,36 @@ object Queries {
         "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM pairs) " +
         "WHERE rnk <= 3")),
 
+    // embedding-cosine near-dup DECISION: pairs gated by the coarse bucket
+    // (label — the same candidate discipline as q35/q48, never all-pairs),
+    // exact cosine on candidates, threshold → keep/drop counts (drop = the
+    // larger id of each pair, the pairwise min-id-keep rule). τ=0.38 fits
+    // the synthetic embeddings (max within-label cos ≈ 0.47); a production
+    // corpus would run the same plan at τ≈0.95.
+    Q("q64_embedding_neardup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
+        val a = e.select(col("label"), col("vec_id").as("ida"), col("v").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("idb"), col("v").as("vb"))
+        val pairs = a.join(b, Seq("label")).filter(col("ida") < col("idb"))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (acc,z) -> acc + z)") /
+              (expr("sqrt(aggregate(va, 0D, (acc,x) -> acc + x*x))") *
+                expr("sqrt(aggregate(vb, 0D, (acc,x) -> acc + x*x))")), 6))
+          .filter(col("cos") >= 0.38)
+        pairs.agg(count(lit(1)).as("n_neardup_pairs"),
+          countDistinct(col("idb")).as("n_dropped"),
+          round(avg(col("cos")), 4).as("avg_cos"))
+      },
+      Some("WITH e AS (SELECT vec_id, label, generate_subscripts(embedding,1) AS i, " +
+        "unnest(embedding)::DOUBLE AS v FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS ida, b.vec_id AS idb, " +
+        "round(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))),6) AS cos " +
+        "FROM e a JOIN e b ON a.i=b.i AND a.label=b.label AND a.vec_id < b.vec_id GROUP BY 1,2) " +
+        "SELECT count(*) AS n_neardup_pairs, count(DISTINCT idb) AS n_dropped, " +
+        "round(avg(cos),4) AS avg_cos FROM p WHERE cos >= 0.38")),
+
     // SimHash near-dup END-TO-END: 48-bit signature → 4 bands of 12 bits
     // (candidates = any shared band) → exact Hamming verify via
     // bit_count(xor) ≤ 3. q33 profiles exact collisions; this is the real
