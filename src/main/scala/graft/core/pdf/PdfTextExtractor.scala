@@ -65,7 +65,19 @@ object PdfTextExtractor {
           if (lenM.find()) math.min(end, ds + lenM.group(1).toInt)
           else trimEol(bytes, ds, end)
         var payload = java.util.Arrays.copyOfRange(bytes, ds, payloadEnd)
-        if (dict.contains("FlateDecode")) payload = inflate(payload)
+        // apply the /Filter chain in declared order (a [/ASCII85Decode
+        // /FlateDecode] array means: 85-decode first, then inflate —
+        // filters are listed in the order they must be UNDONE). Longest
+        // alternatives first so "Fl" never clips "FlateDecode".
+        val fm = java.util.regex.Pattern
+          .compile("/(FlateDecode|ASCIIHexDecode|ASCII85Decode|AHx|A85|Fl)\\b")
+          .matcher(dict)
+        while (fm.find()) fm.group(1) match {
+          case "FlateDecode" | "Fl"      => payload = inflate(payload)
+          case "ASCIIHexDecode" | "AHx"  => payload = asciiHexDecode(payload)
+          case "ASCII85Decode" | "A85"   => payload = ascii85Decode(payload)
+          case _ =>
+        }
         if (indexOf(payload, "BT", 0) >= 0) out += payload
         i = end + "endstream".length
       }
@@ -77,6 +89,74 @@ object PdfTextExtractor {
     var e = end
     while (e > start && (bytes(e - 1) == '\n' || bytes(e - 1) == '\r')) e -= 1
     e
+  }
+
+  /** ASCIIHexDecode (PDF 7.4.2): hex pairs, whitespace skipped, `>` is
+    * EOD, an odd trailing digit is padded with 0.
+    */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (c == '>') {
+        if (hi >= 0) out.write(hi << 4) // odd digit padded with 0
+        done = true
+      } else if (d >= 0) {
+        if (hi < 0) hi = d
+        else { out.write((hi << 4) | d); hi = -1 }
+      } // anything else (whitespace/junk) skipped
+      i += 1
+    }
+    if (!done && hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (PDF 7.4.3): 5 chars of '!'..'u' → 4 bytes (base 85),
+    * `z` → four zero bytes, whitespace skipped, `~>` is EOD; a partial
+    * final group of n chars (padded with 'u') yields n-1 bytes.
+    */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5)
+    val grp = new Array[Int](5)
+    var gn = 0
+    var i = 0
+    // skip the optional <~ header
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    def flush(n: Int): Unit = { // n chars of the group are real
+      var k = gn
+      while (k < 5) { grp(k) = 84; k += 1 } // pad with 'u'
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + grp(j); j += 1 }
+      val bytesOut = n - 1
+      var b = 0
+      while (b < bytesOut) { out.write(((v >>> (24 - 8 * b)) & 0xFF).toInt); b += 1 }
+      gn = 0
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') { // EOD
+        if (gn > 0) flush(gn)
+        done = true
+      } else if (c == 'z' && gn == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (c >= '!' && c <= 'u') {
+        grp(gn) = c - '!'; gn += 1
+        if (gn == 5) flush(5)
+      } // whitespace/junk skipped
+      i += 1
+    }
+    if (!done && gn > 0) flush(gn)
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
