@@ -137,19 +137,27 @@ object CuratedPipeline {
     * manifest is incomplete.
     *
     * @param minTextLength quality gate: extracted docs shorter than this
-    *                      never reach dedup (the q37 quality-scoring shape
-    *                      collapsed to its decision bit)
+    *                      never reach dedup
+    * @param minQuality    quality gate: minimum `GraftFunctions.qualityScore`
+    *                      (the q37 signals — length, alpha ratio, stopword
+    *                      density — as one [0,1] number). 0.0 = length/
+    *                      success gating only (the score column is skipped
+    *                      entirely so the default path pays nothing).
     * @return (extract-stage lineage, curate-stage lineage) for THIS run
     */
   def runFromPages(spark: SparkSession, pages: Dataset[Page], outDir: String,
       numBuckets: Int = 32, snapshotGroups: Int = 4, runId: String = "curate",
-      minTextLength: Int = 1,
+      minTextLength: Int = 1, minQuality: Double = 0.0,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
     val extracted = ExtractPipeline.readOutput(spark, s"$outDir/extract")
     val gated = extracted
       .filter(col("success") && col("text_length") >= minTextLength)
+      .filter(
+        if (minQuality <= 0.0) lit(true)
+        else graft.functions.GraftFunctions
+          .qualityScore(col("extracted_text")) >= minQuality)
       // re-derived by the curate stage (and numBuckets may differ)
       .drop("part_bucket", "warc_day")
       .withColumn("id", xxhash64(col("url")))

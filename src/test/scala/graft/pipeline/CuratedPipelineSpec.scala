@@ -116,6 +116,21 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(CuratedPipeline.readKept(spark, s"$outClean/curated")
       .filter(!$"success").count() == 0)
 
+    // quality gate: a real minQuality keeps a SUBSET and every kept doc
+    // clears the threshold
+    val outQ = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outQ,
+      numBuckets = 8, snapshotGroups = 2, runId = "q", minQuality = 0.5)
+    val keptQ = CuratedPipeline.readKept(spark, s"$outQ/curated")
+    val qScores = keptQ.select(graft.functions.GraftFunctions
+      .qualityScore($"extracted_text").as("q")).as[Double].collect()
+    assert(qScores.forall(_ >= 0.5), "every kept doc must clear the quality gate")
+    // NOT a strict-subset assert: gating runs BEFORE clustering, so
+    // removing a cluster's min-id doc promotes a different canonical —
+    // the gated kept set can contain urls the ungated one dropped
+    assert(keptQ.count() <= keptClean.length,
+      "a gate can only shrink the kept corpus")
+
     // torn during CURATE: extract complete, curated manifest truncated
     val outT1 = tmpDir()
     CuratedPipeline.runFromPages(spark, pages, outT1,
