@@ -41,6 +41,27 @@ object PagesQueries {
       out
     })
 
+  // a streaming-ingested + half-compacted table shared by q65: batch 0
+  // committed and folded into compact v1, batch 1 committed but raw
+  private val streamCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def streamedOut(s: SparkSession, sfDir: String): String =
+    streamCache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-streamed").toString
+      val n = pageCount(sfDir)
+      val all = graft.pipeline.ExtractStage.generatePages(s, n, partitions = 8)
+      val half = (n / 2).toInt
+      val firstUrls = (0 until half)
+        .map(i => graft.pipeline.PageGen.url(graft.pipeline.PageGen.DefaultSeed, i.toLong))
+      graft.pipeline.StreamingIngest.commitBatch(out, numBuckets = 16)(
+        all.filter(col("url").isin(firstUrls: _*)).as[graft.pipeline.Page], 0L)
+      graft.pipeline.StreamingIngest.compact(s, out, numBuckets = 16)
+      graft.pipeline.StreamingIngest.commitBatch(out, numBuckets = 16)(
+        all.filter(!col("url").isin(firstUrls: _*)).as[graft.pipeline.Page], 1L)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A4 — templates-used group-by (test_extraction.py:56-58 semantics)
@@ -148,6 +169,20 @@ object PagesQueries {
         .lookupWithPrefixFallback(s, out, prefix, numBuckets = 16)
         .select(col("url"), col("success"), col("text_length"))
         .orderBy(col("url"))
+    }),
+
+    // streaming-ingested table through the maintenance cycle: two committed
+    // micro-batches, batch 0 folded into compact v1, batch 1 still raw —
+    // readAll must show every row exactly once across the fold boundary
+    // (rows-only; exactness pinned in StreamingIngestSpec)
+    "q65_stream_compacted" -> ((s, dir) => {
+      val out = streamedOut(s, dir)
+      graft.pipeline.StreamingIngest.readAll(s, out)
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("success"), 1L).otherwise(0L)).as("n_ok"),
+          countDistinct(col("part_bucket")).as("n_buckets"))
+        .orderBy(col("ingest_batch"))
     }),
 
     // days(warc_ts) pruning: a 3-day window over the committed table reads
