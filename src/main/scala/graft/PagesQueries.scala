@@ -49,16 +49,17 @@ object PagesQueries {
     streamCache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
       import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft-streamed").toString
-      val n = pageCount(sfDir)
-      val all = graft.pipeline.ExtractStage.generatePages(s, n, partitions = 8)
-      val half = (n / 2).toInt
-      val firstUrls = (0 until half)
-        .map(i => graft.pipeline.PageGen.url(graft.pipeline.PageGen.DefaultSeed, i.toLong))
+      // micro-batches sliced by page INDEX range (a pure generator column,
+      // no giant isin over urls); 1000 pages exercise the cycle fully
+      val n = math.min(pageCount(sfDir), 1000L)
+      def pagesRange(from: Long, until: Long) =
+        s.range(from, until, 1L, 8).map(i =>
+          graft.pipeline.PageGen.page(graft.pipeline.PageGen.DefaultSeed, i))
       graft.pipeline.StreamingIngest.commitBatch(out, numBuckets = 16)(
-        all.filter(col("url").isin(firstUrls: _*)).as[graft.pipeline.Page], 0L)
+        pagesRange(0L, n / 2), 0L)
       graft.pipeline.StreamingIngest.compact(s, out, numBuckets = 16)
       graft.pipeline.StreamingIngest.commitBatch(out, numBuckets = 16)(
-        all.filter(!col("url").isin(firstUrls: _*)).as[graft.pipeline.Page], 1L)
+        pagesRange(n / 2, n), 1L)
       out
     })
 
