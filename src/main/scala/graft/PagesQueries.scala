@@ -186,6 +186,24 @@ object PagesQueries {
         .orderBy(col("ingest_batch"))
     }),
 
+    // head metadata over raw page bytes: title / canonical / robots — the
+    // site-declared dedup and indexing-consent signals a crawl pipeline
+    // consults before any content hashing (rows-only; semantics pinned in
+    // HeadMetaSpec)
+    "q66_head_meta" -> ((s, dir) => {
+      val pages = graft.pipeline.ExtractStage
+        .generatePages(s, math.min(pageCount(dir), 1000L), partitions = 8).toDF()
+      pages.select(graft.functions.GraftFunctions.headMeta(col("html")).as("hm"))
+        .select(length(col("hm.title")).as("title_len"),
+          col("hm.noindex").as("noindex"),
+          col("hm.canonical").isNotNull.as("has_canonical"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("title_len") > 0, 1L).otherwise(0L)).as("n_with_title"),
+          round(avg(col("title_len")), 2).as("avg_title_len"),
+          sum(when(col("noindex"), 1L).otherwise(0L)).as("n_noindex"),
+          sum(when(col("has_canonical"), 1L).otherwise(0L)).as("n_canonical"))
+    }),
+
     // days(warc_ts) pruning: a 3-day window over the committed table reads
     // only the matching warc_day directories in each bucket
     "q60_day_range_pruned" -> ((s, dir) => {

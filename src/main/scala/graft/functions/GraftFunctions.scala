@@ -26,6 +26,14 @@ object GraftFunctions {
   def extract_main_content(c: Column): Column =
     org.apache.spark.sql.functions.call_function("extract_main_content", c)
 
+  /** Head metadata over raw page bytes (charset-sniffed decode → one
+    * tokenizer pass): title, canonical link (the site-declared dup
+    * signal), robots noindex/nofollow. Returned as a struct column.
+    */
+  val headMeta = udf((html: Array[Byte]) =>
+    if (html == null) graft.core.html.HeadMeta("", None, noindex = false, nofollow = false)
+    else graft.core.html.HeadMeta.parse(graft.core.html.CharsetSniffer.decode(html)))
+
   /** Document quality score in [0, 1] — the q37 signals (length, alphabetic
     * ratio, stopword density) folded into one gate-able number, built from
     * codegen'd built-ins only (no UDF in the curate hot path):
