@@ -38,6 +38,10 @@ object CuratedPipeline {
     * @param precomputedLabels (id, comp) labels to reuse (e.g. a
     *                materialized labels table, or the analysis queries'
     *                session cache) instead of re-clustering
+    * @param canonicalCol when set, docs sharing this column's value (a
+    *                `<link rel=canonical>` target) cluster together even
+    *                with unrelated text — the site-declared dup signal,
+    *                resolved in the same components pass as content LSH
     * @return lineage rows of THIS run (kept rows per partition)
     */
   def run(spark: SparkSession, corpus: DataFrame, outDir: String,
@@ -45,6 +49,7 @@ object CuratedPipeline {
       numBuckets: Int = 32, snapshotGroups: Int = 4,
       runId: String = "curate",
       precomputedLabels: Option[DataFrame] = None,
+      canonicalCol: Option[String] = None,
       reliable: Boolean = false): Seq[LineageRow] = {
 
     val done = ExtractPipeline.committedBuckets(outDir)
@@ -52,7 +57,7 @@ object CuratedPipeline {
     if (remaining.isEmpty) return Seq.empty
 
     val labels = precomputedLabels.getOrElse(
-      Dedup.minhashClusterLabels(corpus, idCol, textCol, reliable))
+      Dedup.clusterLabels(corpus, idCol, textCol, canonicalCol, reliable))
       .select(col("id").as("__cid"), col("comp").as("__comp"))
 
     // keep = canonical doc per cluster (id == comp) ∪ unlabeled short docs.

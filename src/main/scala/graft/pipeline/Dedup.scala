@@ -42,6 +42,21 @@ object Dedup {
     * @return (id, comp) for every doc with ≥3 words; comp = min reachable id
     */
   def minhashClusterLabels(corpus: DataFrame, idCol: String, textCol: String,
+      reliable: Boolean = false, bands: Int = 1, rowsPerBand: Int = 2): DataFrame =
+    clusterLabels(corpus, idCol, textCol, canonicalCol = None,
+      reliable = reliable, bands = bands, rowsPerBand = rowsPerBand)
+
+  /** [[minhashClusterLabels]] plus an optional CANONICAL key: real web
+    * dedup stacks collapse pages sharing a `<link rel=canonical>` target
+    * BEFORE any content hashing — the site itself declared them duplicates.
+    * A canonical URL is just one more LSH band (its key space is prefixed
+    * so it can never collide with an md5 band key), so canonical groups,
+    * content near-dups, and their transitive combinations all resolve in
+    * the SAME connected-components pass. Docs too short to shingle still
+    * cluster by canonical when they carry one.
+    */
+  def clusterLabels(corpus: DataFrame, idCol: String, textCol: String,
+      canonicalCol: Option[String],
       reliable: Boolean = false, bands: Int = 1, rowsPerBand: Int = 2): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1, s"need ≥1 band of ≥1 rows, got $bands×$rowsPerBand")
     def cp(df: DataFrame): DataFrame =
@@ -61,19 +76,25 @@ object Dedup {
       md5(concat_ws("_", (lit(b.toString) +: mins): _*)).as(s"band$b")
     }
     val sig = d.select(col(idCol).as("id") +: bandCols: _*)
-    val banded =
+    val contentKeys =
       if (bands == 1) sig.select(col("id"), col("band0").as("band"))
       else sig.select(col("id"), expr(
         s"stack($bands, ${(0 until bands).map(b => s"band$b").mkString(",")})").as("band"))
-    val bandedC = cp(banded) // minhash computed once
-    val hubs = bandedC.groupBy(col("band")).agg(min(col("id")).as("hub"))
-    val star = bandedC.join(hubs, Seq("band"))
+    val keyed = canonicalCol match {
+      case None => contentKeys
+      case Some(c) => contentKeys.unionByName(
+        corpus.filter(col(c).isNotNull && trim(col(c)) =!= "")
+          .select(col(idCol).as("id"), concat(lit("canon:"), trim(col(c))).as("band")))
+    }
+    val keyedC = cp(keyed) // minhash computed once
+    val hubs = keyedC.groupBy(col("band")).agg(min(col("id")).as("hub"))
+    val star = keyedC.join(hubs, Seq("band"))
       .filter(col("id") =!= col("hub"))
       .select(col("id").as("src"), col("hub").as("dst"))
     val edges = cp(star
       .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    connectedComponents(bandedC.select(col("id")).distinct(), edges,
+    connectedComponents(keyedC.select(col("id")).distinct(), edges,
       reliable = reliable)
   }
 

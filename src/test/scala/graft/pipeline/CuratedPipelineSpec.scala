@@ -70,6 +70,24 @@ class CuratedPipelineSpec extends AnyFunSuite {
       s"kept corpus must have no duplicate clusters, got ${relab.mkString(",")}")
   }
 
+  test("canonical-aware curate keeps one doc per site-declared group") {
+    import spark.implicits._
+    val out = tmpDir()
+    val docs = Seq(
+      (10L, "u10", ts("2024-03-01 10:00:00"), "the quick brown fox jumps over the lazy dog", "https://e.com/x"),
+      (11L, "u11", ts("2024-03-01 11:00:00"), "pack my box with five dozen liquor jugs today", "https://e.com/x"),
+      (20L, "u20", ts("2024-03-02 10:00:00"), "sphinx of black quartz judge my vow quickly now", null),
+      (30L, "u30", ts("2024-03-03 10:00:00"), "hi", "https://e.com/x"),
+      (40L, "u40", ts("2024-03-04 10:00:00"), "ok", null)
+    ).toDF("id", "url", "warc_ts", "text", "canonical")
+    CuratedPipeline.run(spark, docs, out, numBuckets = 8, snapshotGroups = 2,
+      runId = "canon", canonicalCol = Some("canonical"))
+    val ids = CuratedPipeline.readKept(spark, out).select($"id").as[Long].collect().sorted
+    // 10/11/30 share a canonical (different texts, one short) → keep 10;
+    // 20 content-unique; 40 short and keyless → trivially kept
+    assert(ids.sameElements(Array(10L, 20L, 40L)), s"got ${ids.mkString(",")}")
+  }
+
   test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
     import spark.implicits._
     val outClean = tmpDir(); val outTorn = tmpDir()

@@ -65,6 +65,35 @@ class DedupSpec extends AnyFunSuite {
     assert(Set(Set(100L, 101L)).subsetOf(p12), "exact dups merge in every config")
   }
 
+  test("canonical key clusters unrelated texts; transitive with content LSH; short docs included") {
+    import spark.implicits._
+    val docs = Seq(
+      // same canonical, totally different long texts → site-declared dups
+      (1L, "the quick brown fox jumps over the lazy dog today", Some("https://e.com/x")),
+      (2L, "pack my box with five dozen liquor jugs this morning", Some("https://e.com/x")),
+      // doc 3 is an exact CONTENT dup of 2 with a different canonical →
+      // the chain 1~2 (canonical) + 2~3 (content) must become ONE component
+      (3L, "pack my box with five dozen liquor jugs this morning", Some("https://e.com/y")),
+      // short (unshingleable) doc still clusters via its canonical
+      (4L, "hi", Some("https://e.com/x")),
+      // short doc without canonical: unlabeled (trivially unique)
+      (5L, "ok", None),
+      // unrelated doc, own canonical → singleton
+      (6L, "sphinx of black quartz judge my vow quickly right now", Some("https://e.com/z"))
+    ).toDF("doc_id", "text", "canonical")
+    val labels = Dedup.clusterLabels(docs, "doc_id", "text", Some("canonical"))
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L && labels(4L) == 1L,
+      s"canonical+content chain must collapse to component 1, got $labels")
+    assert(labels(6L) == 6L)
+    assert(!labels.contains(5L), "short doc without any key stays unlabeled")
+    // canonicalCol = None reproduces the pure-content clustering
+    val plain = Dedup.clusterLabels(docs, "doc_id", "text", None)
+      .as[(Long, Long)].collect().toMap
+    assert(plain(2L) == plain(3L), "exact content dups merge without canonicals")
+    assert(plain(1L) != plain(2L), "unrelated texts stay apart without canonicals")
+  }
+
   test("reliable checkpointing yields identical labels (cluster-durable path)") {
     import spark.implicits._
     val cpDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
