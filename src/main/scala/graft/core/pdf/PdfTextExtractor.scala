@@ -21,68 +21,172 @@ object PdfTextExtractor {
 
   final case class Placed(x: Double, y: Double, text: String)
 
+  /** One indirect object: number, dict text (ISO-8859-1), decoded stream
+    * payload if the object carries one.
+    */
+  final case class PdfObj(num: Int, dict: String, payload: Option[Array[Byte]])
+
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
 
   /** Extract all text, pages separated by '\n'. Returns "" on any parse
     * failure (mirrors the reference's catch-and-empty policy,
     * invoice_processor.py:250-252).
+    *
+    * Resolution order: walk the page tree (Catalog → Pages → Kids) so pages
+    * come out in declared order with their own /Resources — that is what
+    * binds `Tf`-selected fonts to their /ToUnicode CMaps and makes
+    * subset-font PDFs (glyph codes ≠ Unicode) readable. When no page tree
+    * parses (truncated or dict-less fragments), fall back to scanning every
+    * decoded stream that contains a BT text object, unmapped — the round-1
+    * behavior, still right for font-less content.
     */
   def extract(bytes: Array[Byte]): String =
     try {
-      val streams = contentStreams(bytes)
-      val pages = streams.map(extractFromContent)
+      val objs = scanObjects(bytes)
+      val pages = pageTexts(objs).getOrElse(
+        objs.flatMap(_.payload).filter(p => indexOf(p, "BT", 0) >= 0)
+          .map(p => extractFromContent(p, Map.empty[String, ToUnicodeCMap])))
       pages.filter(_.nonEmpty).mkString("\n")
     } catch { case scala.util.control.NonFatal(_) => "" }
 
-  /** All decoded stream payloads that contain a BT text object, in document
-    * order (object order == page order for our corpus).
+  /** Linear object scan: `N G obj … endobj`, decoding stream payloads as we
+    * pass them (scanning resumes after `endstream`, so byte patterns inside
+    * payloads can never be mistaken for object headers).
     */
-  private def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val out = ArrayBuffer.empty[Array[Byte]]
-    val n = bytes.length
-    var i = 0
-    while (i < n) {
-      val s = indexOf(bytes, "stream", i)
-      if (s < 0) { i = n }
-      else {
-        // the whole object dict precedes the stream keyword; anchoring on
-        // the last "obj" (not the last "<<") keeps the OUTER dict's
-        // /Filter and /Length visible even when it contains nested dicts
-        // (e.g. /DecodeParms << ... >>)
-        val objStart = lastIndexOf(bytes, "obj", s)
-        val dictStart = math.max(0, if (objStart >= 0) objStart else lastIndexOf(bytes, "<<", s))
-        val dict = new String(bytes, dictStart, s - dictStart, java.nio.charset.StandardCharsets.ISO_8859_1)
-        var ds = s + "stream".length
-        if (ds < n && bytes(ds) == '\r') ds += 1
-        if (ds < n && bytes(ds) == '\n') ds += 1
+  private def scanObjects(bytes: Array[Byte]): Seq[PdfObj] = {
+    val out = ArrayBuffer.empty[PdfObj]
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+    val m = objPat.matcher(s)
+    var from = 0
+    while (from < s.length && m.find(from)) {
+      val num = m.group(1).toInt
+      val bodyStart = m.end()
+      val endObj = s.indexOf("endobj", bodyStart)
+      val streamKw = s.indexOf("stream", bodyStart)
+      if (streamKw >= 0 && (endObj < 0 || streamKw < endObj)) {
+        val dict = s.substring(bodyStart, streamKw)
+        var ds = streamKw + "stream".length
+        if (ds < bytes.length && bytes(ds) == '\r') ds += 1
+        if (ds < bytes.length && bytes(ds) == '\n') ds += 1
         val e = indexOf(bytes, "endstream", ds)
-        val end = if (e < 0) n else e
-        // slice by /Length when present — trailing-EOL trimming would eat
-        // deflate checksum bytes that happen to be 0x0A/0x0D
-        val lenM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)").matcher(dict)
-        val payloadEnd =
-          if (lenM.find()) math.min(end, ds + lenM.group(1).toInt)
-          else trimEol(bytes, ds, end)
-        var payload = java.util.Arrays.copyOfRange(bytes, ds, payloadEnd)
-        // apply the /Filter chain in declared order (a [/ASCII85Decode
-        // /FlateDecode] array means: 85-decode first, then inflate —
-        // filters are listed in the order they must be UNDONE). Longest
-        // alternatives first so "Fl" never clips "FlateDecode".
-        val fm = java.util.regex.Pattern
-          .compile("/(FlateDecode|ASCIIHexDecode|ASCII85Decode|AHx|A85|Fl)\\b")
-          .matcher(dict)
-        while (fm.find()) fm.group(1) match {
-          case "FlateDecode" | "Fl"      => payload = inflate(payload)
-          case "ASCIIHexDecode" | "AHx"  => payload = asciiHexDecode(payload)
-          case "ASCII85Decode" | "A85"   => payload = ascii85Decode(payload)
-          case _ =>
-        }
-        if (indexOf(payload, "BT", 0) >= 0) out += payload
-        i = end + "endstream".length
+        val end = if (e < 0) bytes.length else e
+        out += PdfObj(num, dict, Some(decodePayload(bytes, dict, ds, end)))
+        from = end + "endstream".length
+      } else {
+        val end = if (endObj < 0) s.length else endObj
+        out += PdfObj(num, s.substring(bodyStart, end), None)
+        from = end + "endobj".length
       }
     }
     out.toSeq
+  }
+
+  /** Slice and defilter one stream payload given its object dict. */
+  private def decodePayload(bytes: Array[Byte], dict: String, ds: Int, end: Int): Array[Byte] = {
+    // slice by /Length when present — trailing-EOL trimming would eat
+    // deflate checksum bytes that happen to be 0x0A/0x0D
+    val lenM = java.util.regex.Pattern.compile("/Length\\s+(\\d+)").matcher(dict)
+    val payloadEnd =
+      if (lenM.find()) math.min(end, ds + lenM.group(1).toInt)
+      else trimEol(bytes, ds, end)
+    var payload = java.util.Arrays.copyOfRange(bytes, ds, payloadEnd)
+    // apply the /Filter chain in declared order (a [/ASCII85Decode
+    // /FlateDecode] array means: 85-decode first, then inflate —
+    // filters are listed in the order they must be UNDONE). Longest
+    // alternatives first so "Fl" never clips "FlateDecode".
+    val fm = java.util.regex.Pattern
+      .compile("/(FlateDecode|ASCIIHexDecode|ASCII85Decode|AHx|A85|Fl)\\b")
+      .matcher(dict)
+    while (fm.find()) fm.group(1) match {
+      case "FlateDecode" | "Fl"      => payload = inflate(payload)
+      case "ASCIIHexDecode" | "AHx"  => payload = asciiHexDecode(payload)
+      case "ASCII85Decode" | "A85"   => payload = ascii85Decode(payload)
+      case _ =>
+    }
+    payload
+  }
+
+  private val RefPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R\\b")
+
+  /** Page texts in page-tree order, or None when the tree is unusable.
+    * /Resources (and thus font CMaps) inherit down Pages nodes per
+    * §7.7.3.4; a page's own /Font entries win over inherited ones.
+    */
+  private def pageTexts(objs: Seq[PdfObj]): Option[Seq[String]] = {
+    val byNum = objs.groupBy(_.num).map { case (k, v) => (k, v.last) } // later definition wins (incremental update)
+    val catalog = objs.find(o => o.payload.isEmpty && o.dict.contains("/Catalog"))
+    val rootRef = catalog.flatMap { c =>
+      val m = java.util.regex.Pattern.compile("/Pages\\s+(\\d+)\\s+\\d+\\s+R").matcher(c.dict)
+      if (m.find()) Some(m.group(1).toInt) else None
+    }
+    rootRef.flatMap { root =>
+      val pages = ArrayBuffer.empty[String]
+      val visited = scala.collection.mutable.HashSet.empty[Int]
+
+      def fontsOf(dict: String, inherited: Map[String, ToUnicodeCMap]): Map[String, ToUnicodeCMap] = {
+        // /Resources may be inline (nested dict already inside `dict`) or a ref
+        var hay = dict
+        val rr = java.util.regex.Pattern.compile("/Resources\\s+(\\d+)\\s+\\d+\\s+R").matcher(dict)
+        if (rr.find()) byNum.get(rr.group(1).toInt).foreach(o => hay = hay + "\n" + o.dict)
+        val fd = java.util.regex.Pattern.compile("/Font\\s*<<([^>]*)>>").matcher(hay)
+        if (!fd.find()) inherited
+        else {
+          val entries = java.util.regex.Pattern
+            .compile("/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R").matcher(fd.group(1))
+          var fonts = inherited
+          while (entries.find()) {
+            val name = entries.group(1)
+            val cmap = byNum.get(entries.group(2).toInt).flatMap { fontObj =>
+              val tu = java.util.regex.Pattern.compile("/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R").matcher(fontObj.dict)
+              if (tu.find())
+                byNum.get(tu.group(1).toInt).flatMap(_.payload).map(p =>
+                  ToUnicodeCMap.parse(new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
+              else None
+            }
+            cmap match {
+              case Some(c) => fonts = fonts.updated(name, c)
+              case None    => fonts = fonts - name // font without CMap shadows an inherited name
+            }
+          }
+          fonts
+        }
+      }
+
+      def walk(num: Int, inheritedFonts: Map[String, ToUnicodeCMap], depth: Int): Unit = {
+        if (depth > 64 || !visited.add(num)) return
+        byNum.get(num).foreach { node =>
+          val fonts = fontsOf(node.dict, inheritedFonts)
+          val kids = java.util.regex.Pattern.compile("/Kids\\s*\\[([^\\]]*)\\]").matcher(node.dict)
+          if (kids.find()) {
+            val refs = RefPat.matcher(kids.group(1))
+            while (refs.find()) walk(refs.group(1).toInt, fonts, depth + 1)
+          } else {
+            // leaf page: /Contents single ref or array of refs, streams
+            // concatenated (token boundaries align with stream boundaries, §7.8.2)
+            val contentRefs = ArrayBuffer.empty[Int]
+            val arr = java.util.regex.Pattern.compile("/Contents\\s*\\[([^\\]]*)\\]").matcher(node.dict)
+            if (arr.find()) {
+              val refs = RefPat.matcher(arr.group(1))
+              while (refs.find()) contentRefs += refs.group(1).toInt
+            } else {
+              val one = java.util.regex.Pattern.compile("/Contents\\s+(\\d+)\\s+\\d+\\s+R").matcher(node.dict)
+              if (one.find()) contentRefs += one.group(1).toInt
+            }
+            val payloads = contentRefs.toSeq.flatMap(r => byNum.get(r).flatMap(_.payload))
+            if (payloads.nonEmpty) {
+              val joined = new java.io.ByteArrayOutputStream()
+              payloads.foreach { p => joined.write(p); joined.write('\n') }
+              pages += extractFromContent(joined.toByteArray, fonts)
+            }
+          }
+        }
+      }
+
+      walk(root, Map.empty, 0)
+      if (pages.nonEmpty) Some(pages.toSeq) else None
+    }
   }
 
   private def trimEol(bytes: Array[Byte], start: Int, end: Int): Int = {
@@ -201,15 +305,25 @@ object PdfTextExtractor {
   }
 
   /** Parse one content stream: tokenizes operands/operators and tracks the
-    * text cursor through BT/ET blocks.
+    * text cursor through BT/ET blocks. Font-less entry point (tests, BT-scan
+    * fallback).
     */
-  def extractFromContent(content: Array[Byte]): String = {
+  def extractFromContent(content: Array[Byte]): String =
+    extractFromContent(content, Map.empty[String, ToUnicodeCMap])
+
+  /** As above, with the page's font resources: `Tf` selects the current
+    * font, and shown strings pass through its /ToUnicode CMap (glyph codes
+    * → Unicode). A font with no CMap shows codes verbatim — correct for the
+    * standard-encoded fonts our generator emits.
+    */
+  def extractFromContent(content: Array[Byte], fonts: Map[String, ToUnicodeCMap]): String = {
     val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
     val placed = ArrayBuffer.empty[Placed]
     var x = 0.0; var y = 0.0        // current text position
     var lineX = 0.0; var lineY = 0.0 // start-of-line position
     var leading = 12.0
     var inText = false
+    var cmap: ToUnicodeCMap = null  // current font's ToUnicode, if any
     val operands = ArrayBuffer.empty[Any]
     var i = 0
     val n = s.length
@@ -219,7 +333,8 @@ object PdfTextExtractor {
       case _ => 0.0
     }
 
-    def show(str: String): Unit = {
+    def show(raw: String): Unit = {
+      val str = if (cmap == null) raw else cmap.mapString(raw)
       if (str.nonEmpty) placed += Placed(x, y, str)
       x += str.length * 6.0 // nominal advance; only relative order matters
     }
@@ -325,6 +440,12 @@ object PdfTextExtractor {
               x = lineX; y = lineY
             case "T*" => newline()
             case "TL" if operands.nonEmpty => leading = num(operands.last)
+            case "Tf" if operands.length >= 2 =>
+              operands(operands.length - 2) match {
+                case name: String if name.startsWith("/") =>
+                  cmap = fonts.getOrElse(name.substring(1), null)
+                case _ => ()
+              }
             case "Tj" if operands.nonEmpty && inText =>
               operands.last match { case str: String => show(str); case _ => () }
             case "'" if operands.nonEmpty && inText =>

@@ -245,6 +245,70 @@ object PageGen {
     out.toByteArray
   }
 
+  /** Build a 1-page PDF with a SUBSET font: each distinct character's glyph
+    * code is its first-appearance index (1-based), so the raw shown bytes
+    * are meaningless control codes and the ONLY route back to text is the
+    * embedded /ToUnicode CMap (PDF 32000-1 §9.10.3). This is the shape
+    * office exporters and print-to-PDF drivers emit for embedded-subset
+    * fonts — the reference reads them via pdfplumber's ToUnicode handling
+    * (invoice_processor.py:234-252). `twoByte` emits Identity-H-style
+    * 2-byte codes shown as hex strings; 1-byte mode caps at 255 distinct
+    * characters (later characters fall back to '?', like a real subset
+    * would drop to .notdef).
+    */
+  def subsetFontPdfBytes(text: String, twoByte: Boolean): Array[Byte] = {
+    val glyphs = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+    text.foreach { c =>
+      if (c != '\n' && !glyphs.contains(c)) {
+        val code = glyphs.size + 1
+        if (twoByte || code <= 0xFF) glyphs(c) = code
+      }
+    }
+    val hexW = if (twoByte) 4 else 2
+    def codeHex(c: Char): String =
+      glyphs.get(c).map(v => ("%0" + hexW + "X").format(v)).getOrElse(("%0" + hexW + "X").format(glyphs.getOrElse('?', 1)))
+    val cs = new java.lang.StringBuilder("BT\n/F1 12 Tf\n72 720 Td\n14 TL\n")
+    text.split("\n", -1).zipWithIndex.foreach { case (line, k) =>
+      if (k > 0) cs.append("0 -14 Td\n")
+      cs.append("<").append(line.map(codeHex).mkString).append("> Tj\n")
+    }
+    cs.append("ET\n")
+    val d = new java.util.zip.Deflater()
+    d.setInput(cs.toString.getBytes(UTF_8)); d.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val ztmp = new Array[Byte](8192)
+    while (!d.finished()) { val k = d.deflate(ztmp); zbuf.write(ztmp, 0, k) }
+    d.end()
+    val payload = zbuf.toByteArray
+    val space = if (twoByte) "<0000> <FFFF>" else "<01> <FF>"
+    val cmap = new java.lang.StringBuilder()
+    cmap.append("/CIDInit /ProcSet findresource begin\nbegincmap\n")
+      .append("1 begincodespacerange ").append(space).append(" endcodespacerange\n")
+      .append(glyphs.size).append(" beginbfchar\n")
+    glyphs.foreach { case (c, code) =>
+      cmap.append("<").append(("%0" + hexW + "X").format(code)).append("> <")
+        .append(f"${c.toInt}%04X").append(">\n")
+    }
+    cmap.append("endbfchar\nendcmap\nend\n")
+    val cmapBytes = cmap.toString.getBytes(UTF_8)
+    val subtype = if (twoByte) "/Subtype /Type0 /Encoding /Identity-H" else "/Subtype /TrueType"
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(UTF_8))
+    w("%PDF-1.4\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n")
+    w(s"4 0 obj\n<< /Filter /FlateDecode /Length ${payload.length} >>\nstream\n")
+    out.write(payload)
+    w("\nendstream\nendobj\n")
+    w(s"5 0 obj\n<< /Type /Font $subtype /BaseFont /GRAFTX+Subset /ToUnicode 6 0 R >>\nendobj\n")
+    w(s"6 0 obj\n<< /Length ${cmapBytes.length} >>\nstream\n")
+    out.write(cmapBytes)
+    w("\nendstream\nendobj\n")
+    w("trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ---- row assembly -------------------------------------------------------
 
   /** Payload kind: 0-9 HTML, 10 = uncompressed PDF, 11 = flate PDF,

@@ -111,7 +111,18 @@ object GoldenFixtures {
           .getBytes("Shift_JIS"),
       "charset_utf16le_bom" ->
         ("﻿" + s"<html><body><p>$prose seize—bits</p></body>")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+      // subset-font PDFs: glyph codes ≠ character codes; readable only via
+      // the embedded /ToUnicode CMap (the shape office exporters emit)
+      "pdf_tounicode_subset" ->
+        PageGen.subsetFontPdfBytes(
+          "Tax Invoice\nCompany Name : Subset Fonts Pvt Ltd\nInvoice No. : SF-2026-0042\n" +
+            "Date of Invoice : 15/08/2026\nFSSAI : 10012031000123\nTotal Amount : 1,234.56",
+          twoByte = false),
+      "pdf_cid_identity" ->
+        PageGen.subsetFontPdfBytes(
+          "Invoice Number : CID/77/2026\nInvoice Date : 01-02-2026\nGrand Total : 999.00",
+          twoByte = true)
     )
   }
 
