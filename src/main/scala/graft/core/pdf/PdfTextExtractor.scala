@@ -80,7 +80,34 @@ object PdfTextExtractor {
         from = end + "endobj".length
       }
     }
-    out.toSeq
+    // PDF 1.5+ object streams: catalog/page/font dicts commonly live INSIDE
+    // a compressed /ObjStm, invisible to the top-level scan. Unpack them:
+    // the payload is `N` (objnum, offset) integer pairs followed at /First
+    // by the concatenated object bodies (dicts only — streams can't nest).
+    val unpacked = ArrayBuffer.empty[PdfObj]
+    out.foreach { o =>
+      if (o.dict.contains("/ObjStm")) o.payload.foreach { p =>
+        val nM = java.util.regex.Pattern.compile("/N\\s+(\\d+)").matcher(o.dict)
+        val fM = java.util.regex.Pattern.compile("/First\\s+(\\d+)").matcher(o.dict)
+        if (nM.find() && fM.find()) {
+          val count = nM.group(1).toInt
+          val first = fM.group(1).toInt
+          if (first <= p.length && count > 0 && count < 100000) {
+            val ps = new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)
+            val header = ps.substring(0, first).trim.split("\\s+").filter(_.nonEmpty)
+            val pairs = header.grouped(2).take(count)
+              .collect { case Array(n, off) if n.forall(_.isDigit) && off.forall(_.isDigit) =>
+                (n.toInt, off.toInt) }.toSeq
+            pairs.zipWithIndex.foreach { case ((num, off), k) =>
+              val start = first + off
+              val end = if (k + 1 < pairs.length) math.min(ps.length, first + pairs(k + 1)._2) else ps.length
+              if (start >= 0 && start <= end) unpacked += PdfObj(num, ps.substring(start, end), None)
+            }
+          }
+        }
+      }
+    }
+    out.toSeq ++ unpacked
   }
 
   /** Slice and defilter one stream payload given its object dict. */
