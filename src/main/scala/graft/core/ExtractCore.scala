@@ -5,12 +5,15 @@ import graft.core.pdf.PdfTextExtractor
 import graft.core.rules._
 
 /** Result of processing one page: main-content text + spans (the north-rule
-  * invariant surface) plus the typed extraction record (reference parity).
+  * invariant surface) plus the typed extraction record (reference parity)
+  * and the head metadata a crawl pipeline acts on (canonical / robots —
+  * parsed from the same decoded bytes, empty for PDFs and fallback docs).
   */
 final case class PageResult(
     extractedText: String,
     spans: Vector[Span],
-    record: ExtractionRecord)
+    record: ExtractionRecord,
+    head: graft.core.html.HeadMeta = graft.core.html.HeadMeta("", None, noindex = false, nofollow = false))
 
 /** The per-document driver (C3 — semantics of
   * /root/reference/invoice_processor.py:1257-1389, re-architected):
@@ -31,24 +34,38 @@ final case class PageResult(
   */
 object ExtractCore {
 
+  private val emptyHead =
+    graft.core.html.HeadMeta("", None, noindex = false, nofollow = false)
+
   /** Extract the text IR + spans from raw payload bytes. */
   def extractText(html: Array[Byte], fallbackText: String): (String, Vector[Span]) = {
-    val (text, spans) =
-      if (html == null || html.isEmpty) ("", Vector.empty[Span])
+    val (t, s, _) = extractTextAndHead(html, fallbackText)
+    (t, s)
+  }
+
+  /** As [[extractText]], plus the head metadata (canonical link, robots
+    * directives, title) parsed from the SAME charset-sniffed decode — one
+    * decode pass serves both the boilerplate pipeline and the head scan.
+    * PDFs and fallback-text docs carry no head.
+    */
+  def extractTextAndHead(html: Array[Byte], fallbackText: String): (String, Vector[Span], graft.core.html.HeadMeta) = {
+    val (text, spans, head) =
+      if (html == null || html.isEmpty) ("", Vector.empty[Span], emptyHead)
       else if (PdfTextExtractor.isPdf(html)) {
         val t = PdfTextExtractor.extract(html)
-        (t, if (t.isEmpty) Vector.empty else Vector(Span("pdf", 0, t.length)))
+        (t, if (t.isEmpty) Vector.empty[Span] else Vector(Span("pdf", 0, t.length)), emptyHead)
       } else {
         // charset-sniffed decode (BOM → meta prescan → UTF-8 fallback):
         // identical to the old UTF-8-only policy for every UTF-8 page,
         // correct for the windows-1252/shift-jis/... slice of a real crawl
-        val ex = Boilerplate.extract(graft.core.html.CharsetSniffer.decode(html))
-        (ex.text, ex.spans)
+        val decoded = graft.core.html.CharsetSniffer.decode(html)
+        val ex = Boilerplate.extract(decoded)
+        (ex.text, ex.spans, graft.core.html.HeadMeta.parse(decoded))
       }
-    if (text.trim.nonEmpty) (text, spans)
+    if (text.trim.nonEmpty) (text, spans, head)
     else if (fallbackText != null && fallbackText.trim.nonEmpty)
-      (fallbackText, Vector(Span("fallback", 0, fallbackText.length)))
-    else ("", Vector.empty)
+      (fallbackText, Vector(Span("fallback", 0, fallbackText.length)), head)
+    else ("", Vector.empty, head)
   }
 
   /** Post-processing pass (semantics of post_process_extraction,
@@ -115,9 +132,9 @@ object ExtractCore {
     */
   def processPage(html: Array[Byte], fallbackText: String): PageResult =
     try {
-      val (text, spans) = extractText(html, fallbackText)
+      val (text, spans, head) = extractTextAndHead(html, fallbackText)
       if (text.trim.isEmpty)
-        return PageResult("", spans, ExtractionRecord.failure("Could not extract text from PDF"))
+        return PageResult("", spans, ExtractionRecord.failure("Could not extract text from PDF"), head)
 
       // parse the table sections once; classifier and both extraction
       // passes share the result (was 3 parses of the same text)
@@ -138,7 +155,7 @@ object ExtractCore {
       rec = rec.copy(patternUsed = patternKey, success = true,
         confidence = confidence(rec))
       rec = finalizeProducts(rec)
-      PageResult(text, spans, rec)
+      PageResult(text, spans, rec, head)
     } catch {
       // NonFatal only: OOM/Interrupted must stay task failures (Spark
       // retries them) — converting them to data rows would silently lose

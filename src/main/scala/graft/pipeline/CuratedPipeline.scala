@@ -148,17 +148,28 @@ object CuratedPipeline {
     *                      density — as one [0,1] number). 0.0 = length/
     *                      success gating only (the score column is skipped
     *                      entirely so the default path pays nothing).
+    * @param honorNoindex  drop pages whose head carried a robots
+    *                      `noindex`/`none` directive before dedup — the
+    *                      site owner's opt-out, which responsible
+    *                      training-data pipelines honor. A dropped-for-
+    *                      noindex page also never serves as a cluster
+    *                      canonical (it is gone before labels form).
+    * @param clusterByCanonical feed the `<link rel=canonical>` column into
+    *                      the components pass, so site-declared duplicate
+    *                      groups merge with content near-dup clusters
     * @return (extract-stage lineage, curate-stage lineage) for THIS run
     */
   def runFromPages(spark: SparkSession, pages: Dataset[Page], outDir: String,
       numBuckets: Int = 32, snapshotGroups: Int = 4, runId: String = "curate",
       minTextLength: Int = 1, minQuality: Double = 0.0,
+      honorNoindex: Boolean = true, clusterByCanonical: Boolean = true,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
     val extracted = ExtractPipeline.readOutput(spark, s"$outDir/extract")
     val gated = extracted
       .filter(col("success") && col("text_length") >= minTextLength)
+      .filter(if (honorNoindex) !col("noindex") else lit(true))
       .filter(
         if (minQuality <= 0.0) lit(true)
         else graft.functions.GraftFunctions
@@ -169,7 +180,9 @@ object CuratedPipeline {
     val curateLineage = run(spark, gated, s"$outDir/curated",
       idCol = "id", textCol = "extracted_text",
       numBuckets = numBuckets, snapshotGroups = snapshotGroups,
-      runId = runId, reliable = reliable)
+      runId = runId,
+      canonicalCol = if (clusterByCanonical) Some("canonical_url") else None,
+      reliable = reliable)
     (extractLineage, curateLineage)
   }
 

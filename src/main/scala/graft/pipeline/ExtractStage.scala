@@ -34,7 +34,10 @@ object ExtractStage {
         p.originalWeight, p.weightInKg, p.rate, p.amount)),
       confidence = rec.confidence,
       text_length = r.extractedText.length,
-      n_products = rec.products.length)
+      n_products = rec.products.length,
+      title = r.head.title,
+      canonical_url = r.head.canonical.getOrElse(""),
+      noindex = r.head.noindex)
   }
 
   def run(pages: Dataset[Page]): Dataset[ExtractedPage] = {

@@ -28,7 +28,13 @@ final case class ExtractedPage(
     products: Seq[ProductRow],
     confidence: Map[String, Double],
     text_length: Int,
-    n_products: Int)
+    n_products: Int,
+    // head metadata the curation stage acts on: the site-declared dup
+    // signal and the owner's indexing opt-out ("" / false for PDFs and
+    // fallback-text docs)
+    title: String,
+    canonical_url: String,
+    noindex: Boolean)
 
 final case class SpanRow(label: String, start: Int, end: Int)
 

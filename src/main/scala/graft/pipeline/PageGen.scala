@@ -180,7 +180,18 @@ object PageGen {
     val title = sentence(seed, i, 50, 5)
     val sb = new java.lang.StringBuilder
     sb.append("<!DOCTYPE html><html><head><title>").append(title)
-      .append("</title><script>var x = 1 < 2 && 3 > 2;</script><style>.a{color:red}</style></head><body>")
+      .append("</title><script>var x = 1 < 2 && 3 > 2;</script><style>.a{color:red}</style>")
+    // head signals a real crawl carries (none of them touch body content, so
+    // extracted text and every golden fixture stay byte-identical):
+    //  ~1/12 of pages declare a canonical link — groups of up to 4
+    //  consecutive indices point at their quad's base url, forming
+    //  site-declared duplicate clusters the curation stage must merge
+    if (Splitmix64.bounded(rng(seed, i, 90), 12) == 0)
+      sb.append("<link rel=\"canonical\" href=\"").append(url(seed, (i / 4) * 4)).append("\">")
+    //  ~1/20 of pages opt out via robots noindex — the curation gate drops them
+    if (Splitmix64.bounded(rng(seed, i, 91), 20) == 0)
+      sb.append("<meta name=\"robots\" content=\"noindex, nofollow\">")
+    sb.append("</head><body>")
     sb.append("<header>").append(navBlock(seed, i, 60)).append("</header>")
     sb.append(navBlock(seed, i, 63))
     // main content: header fields as <p> lines, table rows inside <pre>

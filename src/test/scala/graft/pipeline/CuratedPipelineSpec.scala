@@ -88,6 +88,51 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(ids.sameElements(Array(10L, 20L, 40L)), s"got ${ids.mkString(",")}")
   }
 
+  test("robots noindex pages never reach the kept corpus (and the gate is optional)") {
+    import spark.implicits._
+    val n = 600L
+    val pages = ExtractStage.generatePages(spark, n, partitions = 8)
+    // the generator emits ~1/20 noindex pages — make sure this corpus has some
+    val extractProbe = ExtractStage.run(pages).filter($"noindex").count()
+    assert(extractProbe > 0, "generator corpus must contain noindex pages for this test")
+
+    val out = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out,
+      numBuckets = 8, snapshotGroups = 2, runId = "robots")
+    val kept = CuratedPipeline.readKept(spark, s"$out/curated")
+    assert(kept.filter($"noindex").count() == 0,
+      "honorNoindex=true must drop every noindex page before dedup")
+
+    val outOff = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outOff,
+      numBuckets = 8, snapshotGroups = 2, runId = "robots-off",
+      honorNoindex = false)
+    assert(CuratedPipeline.readKept(spark, s"$outOff/curated")
+      .filter($"noindex").count() > 0,
+      "honorNoindex=false must keep (non-duplicate) noindex pages")
+  }
+
+  test("site-declared canonical groups collapse to one kept doc in the composed pipeline") {
+    import spark.implicits._
+    val n = 600L
+    val pages = ExtractStage.generatePages(spark, n, partitions = 8)
+    val out = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out,
+      numBuckets = 8, snapshotGroups = 2, runId = "canon-e2e")
+    val extracted = ExtractPipeline.readOutput(spark, s"$out/extract")
+    // the generator corpus must actually contain a multi-member canonical
+    // group that survives the gates, or this test proves nothing
+    val groups = extracted
+      .filter($"success" && !$"noindex" && trim($"canonical_url") =!= "")
+      .groupBy($"canonical_url").count().filter($"count" > 1).count()
+    assert(groups > 0, "corpus must contain a shared canonical group")
+    val dupKept = CuratedPipeline.readKept(spark, s"$out/curated")
+      .filter(trim($"canonical_url") =!= "")
+      .groupBy($"canonical_url").count().filter($"count" > 1).count()
+    assert(dupKept == 0,
+      "no two kept docs may declare the same canonical target")
+  }
+
   test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
     import spark.implicits._
     val outClean = tmpDir(); val outTorn = tmpDir()
