@@ -921,6 +921,42 @@ object Queries {
         "count(DISTINCT comp) AS n_kept, " +
         "count(*) - count(DISTINCT comp) AS n_dropped FROM labels")),
 
+    // canonical-aware clustering, ORACLED: a deterministic slice of the dup
+    // corpus (doc_id % 37 < 3) declares a site canonical shared by its
+    // 37-quotient group, so site-declared groups, content near-dups (the
+    // exact id/id+1e6 copies), and their TRANSITIVE chains — canon group ↔
+    // content dup ↔ another canon group — must all merge in one components
+    // pass. The oracle reruns reachability over the UNION of content-band
+    // and canonical edges; only co-membership matters, so the band key
+    // encodings are free to differ per dialect.
+    Q("q67_canonical_dedup",
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir).withColumn("canon",
+          when(pmod(col("doc_id"), lit(37)) < 3,
+            concat(lit("https://site.example/c"), expr("doc_id div 37"))))
+        graft.pipeline.Dedup.clusterLabels(corpus, "doc_id", "text", Some("canon"))
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      },
+      Some(
+        // same content-band CTE as q44 plus canonical keys; reach seeds from
+        // BOTH key kinds (a short doc with only a canonical is a vertex too)
+        "WITH RECURSIVE docs AS (SELECT doc_id, " +
+          "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
+          s"(SELECT doc_id, string_split(text,' ') AS wrd FROM $dupCorpusSql) WHERE len(wrd) >= 3), " +
+          "banded AS (SELECT doc_id, md5(" +
+          "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
+          "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
+          s"canonk AS (SELECT doc_id, 'canon:https://site.example/c' || (doc_id // 37)::VARCHAR AS band FROM $dupCorpusSql t WHERE doc_id % 37 < 3), " +
+          "keys AS (SELECT * FROM banded UNION ALL SELECT * FROM canonk), " +
+          "edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM keys a JOIN keys b " +
+          "ON a.band = b.band AND a.doc_id <> b.doc_id), " +
+          "reach AS (SELECT DISTINCT doc_id AS id, doc_id AS comp FROM keys " +
+          "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
+          "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id) " +
+          "SELECT sz, count(*) AS n_clusters FROM " +
+          "(SELECT comp, count(*) AS sz FROM labels GROUP BY comp) GROUP BY sz")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")
