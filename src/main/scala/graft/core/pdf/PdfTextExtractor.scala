@@ -453,6 +453,28 @@ object PdfTextExtractor {
         else {
           val op = s.substring(i, j)
           op match {
+            case "BI" =>
+              // inline image (§8.9.7): BI <dict> ID <raw binary> EI — the
+              // payload is arbitrary bytes (parens, "Tj", anything), so it
+              // MUST be skipped, not tokenized. Find ID, then the first
+              // whitespace-delimited EI.
+              val idPos = s.indexOf("ID", j)
+              if (idPos < 0) { i = n }
+              else {
+                var k = idPos + 2
+                if (k < n && s.charAt(k).isWhitespace) k += 1 // single EOL/space after ID
+                var end = -1
+                while (end < 0 && k + 1 < n) {
+                  if (s.charAt(k) == 'E' && s.charAt(k + 1) == 'I' &&
+                      (k == 0 || s.charAt(k - 1).isWhitespace) &&
+                      (k + 2 >= n || s.charAt(k + 2).isWhitespace)) end = k + 2
+                  else k += 1
+                }
+                i = if (end < 0) n else end
+              }
+              operands.clear()
+              // skip the shared operand-clear below (i already advanced)
+              j = i
             case "BT" => inText = true; x = 0; y = 0; lineX = 0; lineY = 0
             case "ET" => inText = false
             case "Td" if operands.length >= 2 =>
