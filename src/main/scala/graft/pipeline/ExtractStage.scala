@@ -36,7 +36,11 @@ object ExtractStage {
       text_length = r.extractedText.length,
       n_products = rec.products.length,
       title = r.head.title,
-      canonical_url = r.head.canonical.getOrElse(""),
+      // canonical hrefs are routinely RELATIVE; only the resolved absolute
+      // form is comparable across pages (raw "/x" on two hosts must not
+      // collide in the dedup pass)
+      canonical_url = r.head.canonical
+        .map(graft.core.html.UrlResolver.resolve(p.url, _)).getOrElse(""),
       noindex = r.head.noindex)
   }
 
