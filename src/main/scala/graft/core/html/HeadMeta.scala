@@ -19,7 +19,12 @@ final case class HeadMeta(
     title: String,
     canonical: Option[String],
     noindex: Boolean,
-    nofollow: Boolean)
+    nofollow: Boolean,
+    /** First `<base href>` (HTML: only the first is effective) — overrides
+      * the page URL as the base for resolving relative hrefs, including
+      * the canonical link.
+      */
+    baseHref: Option[String] = None)
 
 object HeadMeta {
 
@@ -34,12 +39,17 @@ object HeadMeta {
     var canonical: Option[String] = None
     var noindex = false
     var nofollow = false
+    var baseHref: Option[String] = None
 
     HtmlTokenizer.tokenizeInto(html, new HtmlTokenizer.TokenSink {
       def startTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit = {
         if (inHead && !headMetadataTags.contains(name)) inHead = false
         if (inHead) name match {
           case "title" => inTitle = true
+          case "base" =>
+            if (baseHref.isEmpty)
+              attrs.toMap.get("href").map(_.trim).filter(_.nonEmpty)
+                .foreach(h => baseHref = Some(h))
           case "link" =>
             val m = attrs.toMap
             val rel = m.getOrElse("rel", "")
@@ -72,6 +82,6 @@ object HeadMeta {
 
     HeadMeta(
       title.toString.trim.replaceAll("\\s+", " "),
-      canonical, noindex, nofollow)
+      canonical, noindex, nofollow, baseHref)
   }
 }

@@ -38,9 +38,14 @@ object ExtractStage {
       title = r.head.title,
       // canonical hrefs are routinely RELATIVE; only the resolved absolute
       // form is comparable across pages (raw "/x" on two hosts must not
-      // collide in the dedup pass)
-      canonical_url = r.head.canonical
-        .map(graft.core.html.UrlResolver.resolve(p.url, _)).getOrElse(""),
+      // collide in the dedup pass). A <base href> overrides the page URL
+      // as the resolution base, itself resolved first (it may be relative)
+      canonical_url = r.head.canonical.map { href =>
+        val base = r.head.baseHref
+          .map(graft.core.html.UrlResolver.resolve(p.url, _))
+          .filter(_.nonEmpty).getOrElse(p.url)
+        graft.core.html.UrlResolver.resolve(base, href)
+      }.getOrElse(""),
       noindex = r.head.noindex)
   }
 

@@ -67,6 +67,28 @@ class UrlResolverSpec extends AnyFunSuite {
     assert(resolve("http://a/b", null) == "")
   }
 
+  test("<base href> overrides the page URL as the canonical resolution base") {
+    def page(url: String, head: String) = graft.pipeline.Page(
+      url, java.sql.Timestamp.valueOf("2025-06-01 00:00:00"),
+      (s"""<html><head>$head</head><body><p>enough words to extract text here</p></body></html>""").getBytes("UTF-8"),
+      "", "en")
+    // absolute base on a DIFFERENT host: the canonical belongs to cdn.example
+    val a = graft.pipeline.ExtractStage.processOne(page(
+      "https://site.com/dir/p.html",
+      """<base href="https://cdn.example/assets/"><link rel=canonical href="x.html">"""))
+    assert(a.canonical_url == "https://cdn.example/assets/x.html")
+    // relative base resolves against the page first, then the canonical
+    val b = graft.pipeline.ExtractStage.processOne(page(
+      "https://site.com/dir/p.html",
+      """<base href="../other/"><link rel=canonical href="x.html">"""))
+    assert(b.canonical_url == "https://site.com/other/x.html")
+    // only the FIRST base is effective (HTML spec)
+    val c = graft.pipeline.ExtractStage.processOne(page(
+      "https://site.com/dir/p.html",
+      """<base href="/one/"><base href="/two/"><link rel=canonical href="x">"""))
+    assert(c.canonical_url == "https://site.com/one/x")
+  }
+
   test("extract stage stores RESOLVED canonicals: same path on two hosts must differ") {
     def page(url: String, href: String) = graft.pipeline.Page(
       url, java.sql.Timestamp.valueOf("2025-06-01 00:00:00"),
