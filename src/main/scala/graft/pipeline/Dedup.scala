@@ -58,9 +58,24 @@ object Dedup {
   def clusterLabels(corpus: DataFrame, idCol: String, textCol: String,
       canonicalCol: Option[String],
       reliable: Boolean = false, bands: Int = 1, rowsPerBand: Int = 2): DataFrame = {
-    require(bands >= 1 && rowsPerBand >= 1, s"need ≥1 band of ≥1 rows, got $bands×$rowsPerBand")
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val keyedC = cp(bandKeys(corpus, idCol, textCol, canonicalCol, bands, rowsPerBand)) // minhash computed once
+    val edges = cp(starEdges(keyedC))
+    connectedComponents(keyedC.select(col("id")).distinct(), edges,
+      reliable = reliable)
+  }
+
+  /** The (id, band) key table feeding the components pass: one key per
+    * content LSH band (MinHash over 3-gram shingles) plus, when
+    * `canonicalCol` is set, one key per site-declared canonical target —
+    * prefixed so it can never collide with an md5 band key. One corpus
+    * scan per key kind; the signature is computed exactly once.
+    */
+  def bandKeys(corpus: DataFrame, idCol: String, textCol: String,
+      canonicalCol: Option[String],
+      bands: Int = 1, rowsPerBand: Int = 2): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1, s"need ≥1 band of ≥1 rows, got $bands×$rowsPerBand")
     val d = corpus
       .withColumn("wrd", split(col(textCol), " "))
       .filter(size(col("wrd")) >= 3)
@@ -80,22 +95,26 @@ object Dedup {
       if (bands == 1) sig.select(col("id"), col("band0").as("band"))
       else sig.select(col("id"), expr(
         s"stack($bands, ${(0 until bands).map(b => s"band$b").mkString(",")})").as("band"))
-    val keyed = canonicalCol match {
+    canonicalCol match {
       case None => contentKeys
       case Some(c) => contentKeys.unionByName(
         corpus.filter(col(c).isNotNull && trim(col(c)) =!= "")
           .select(col(idCol).as("id"), concat(lit("canon:"), trim(col(c))).as("band")))
     }
-    val keyedC = cp(keyed) // minhash computed once
-    val hubs = keyedC.groupBy(col("band")).agg(min(col("id")).as("hub"))
-    val star = keyedC.join(hubs, Seq("band"))
+  }
+
+  /** Symmetric star edges over a (id, band) key table: every id links to
+    * its bucket's min-id hub — O(k) edges per bucket instead of the O(k²)
+    * clique, with identical reachability.
+    */
+  def starEdges(keyed: DataFrame): DataFrame = {
+    val hubs = keyed.groupBy(col("band")).agg(min(col("id")).as("hub"))
+    val star = keyed.join(hubs, Seq("band"))
       .filter(col("id") =!= col("hub"))
       .select(col("id").as("src"), col("hub").as("dst"))
-    val edges = cp(star
+    star
       .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    connectedComponents(keyedC.select(col("id")).distinct(), edges,
-      reliable = reliable)
+      .distinct()
   }
 
   /** Connected components over an edge list via iterative min-label
