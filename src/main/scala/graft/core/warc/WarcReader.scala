@@ -1,0 +1,146 @@
+package graft.core.warc
+
+import java.io.{BufferedInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** One WARC record (ISO 28500): headers + raw payload block. For
+  * `response` records the HTTP headers are split from the body so the
+  * caller gets the entity bytes a crawl pipeline actually wants.
+  */
+final case class WarcRecord(
+    warcType: String,
+    targetUri: String,
+    date: String,
+    contentType: String,
+    httpStatus: Int,          // -1 when the payload is not an HTTP message
+    httpContentType: String,  // from the HTTP headers, "" if absent
+    body: Array[Byte])        // HTTP entity body for responses, else the raw block
+
+/** Streaming WARC parser: `records(in)` lazily yields records from a
+  * plain or gzipped stream. Common Crawl writes ONE GZIP MEMBER PER
+  * RECORD concatenated into a .warc.gz — `GZIPInputStream` reads
+  * multi-member streams natively, so the same code path covers both
+  * layouts. Framing is `Content-Length` driven (the only correct way:
+  * payloads are binary and contain anything), with the record separator
+  * CRLFCRLF consumed after each block.
+  *
+  * Malformed tails (truncated final record, junk after the last
+  * separator) end iteration instead of throwing: a 1 GB crawl segment
+  * with a torn tail should yield its good records.
+  */
+object WarcReader {
+
+  def isGzip(first2: Array[Byte]): Boolean =
+    first2.length >= 2 && (first2(0) & 0xFF) == 0x1F && (first2(1) & 0xFF) == 0x8B
+
+  def records(raw: InputStream): Iterator[WarcRecord] = {
+    val buffered = new BufferedInputStream(raw, 1 << 16)
+    buffered.mark(2)
+    val magic = new Array[Byte](2)
+    val got = buffered.read(magic)
+    buffered.reset()
+    val in: InputStream =
+      if (got == 2 && isGzip(magic)) new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+      else buffered
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          try {
+            nextRec = readOne(in)
+            if (nextRec == null) done = true
+          } catch {
+            case _: EOFException => done = true
+            case scala.util.control.NonFatal(_) => done = true // torn tail
+          }
+        }
+      }
+      def hasNext: Boolean = { advance(); !done }
+      def next(): WarcRecord = { advance(); val r = nextRec; nextRec = null; r }
+    }
+  }
+
+  /** Read a single record, or null at clean EOF. */
+  private def readOne(in: InputStream): WarcRecord = {
+    var line = readLine(in)
+    // skip blank separator lines between records
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return null
+    if (!line.startsWith("WARC/")) return null // desynced: stop
+    val headers = scala.collection.mutable.HashMap.empty[String, String]
+    var h = readLine(in)
+    while (h != null && h.nonEmpty) {
+      val c = h.indexOf(':')
+      if (c > 0) headers(h.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)) =
+        h.substring(c + 1).trim
+      h = readLine(in)
+    }
+    val len = headers.getOrElse("content-length", "0").toLong
+    if (len < 0 || len > (1L << 31) - 16) throw new EOFException("bad length")
+    val block = readFully(in, len.toInt)
+    val warcType = headers.getOrElse("warc-type", "")
+    val contentType = headers.getOrElse("content-type", "")
+    // response payloads are HTTP messages: split status/headers from body
+    var status = -1
+    var httpCt = ""
+    var body = block
+    if (warcType == "response" && contentType.contains("application/http")) {
+      val sep = indexOfCrlfCrlf(block)
+      if (sep >= 0) {
+        val head = new String(block, 0, sep, ISO_8859_1)
+        val lines = head.split("\r\n")
+        if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+          val parts = lines(0).split(" ")
+          if (parts.length >= 2 && parts(1).forall(_.isDigit)) status = parts(1).toInt
+        }
+        lines.drop(1).foreach { l =>
+          val c = l.indexOf(':')
+          if (c > 0 && l.substring(0, c).trim.equalsIgnoreCase("content-type"))
+            httpCt = l.substring(c + 1).trim
+        }
+        body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+      }
+    }
+    WarcRecord(warcType,
+      headers.getOrElse("warc-target-uri", ""),
+      headers.getOrElse("warc-date", ""),
+      contentType, status, httpCt, body)
+  }
+
+  /** Read a CRLF- (or bare-LF-) terminated ISO-8859-1 line; null at EOF
+    * before any byte.
+    */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      if (b != '\r') sb.write(b)
+      b = in.read()
+    }
+    new String(sb.toByteArray, ISO_8859_1)
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(out, off, n - off)
+      if (k < 0) throw new EOFException(s"record truncated at $off/$n")
+      off += k
+    }
+    out
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -1,0 +1,116 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.warc.{WarcReader, WarcRecord}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+class WarcSpec extends AnyFunSuite {
+
+  private def warcRecord(tpe: String, uri: String, date: String, block: Array[Byte],
+      blockType: String = "application/http; msgtype=response"): Array[Byte] = {
+    val h = new StringBuilder
+    h.append("WARC/1.0\r\n")
+    h.append(s"WARC-Type: $tpe\r\n")
+    if (uri.nonEmpty) h.append(s"WARC-Target-URI: $uri\r\n")
+    h.append(s"WARC-Date: $date\r\n")
+    h.append(s"WARC-Record-ID: <urn:uuid:$tpe-${uri.hashCode}>\r\n")
+    h.append(s"Content-Type: $blockType\r\n")
+    h.append(s"Content-Length: ${block.length}\r\n")
+    h.append("\r\n")
+    h.toString.getBytes(ISO_8859_1) ++ block ++ "\r\n\r\n".getBytes(ISO_8859_1)
+  }
+
+  private def httpResponse(status: Int, ctype: String, body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status ${if (status == 200) "OK" else "ERR"}\r\n" +
+      s"Content-Type: $ctype\r\nServer: t\r\n\r\n").getBytes(ISO_8859_1) ++ body
+
+  private val prose = (1 to 40).map(k => s"warcword$k").mkString(" ")
+  private val html1 = s"<html><body><p>first page body with several words $prose</p></body></html>".getBytes(UTF_8)
+  private val html2 = s"<html><body><p>second page entirely different text $prose</p></body></html>".getBytes(UTF_8)
+
+  /** warcinfo + request (skipped) + 200 response + 404 response + 200. */
+  private def segment(): Array[Byte] =
+    warcRecord("warcinfo", "", "2025-06-01T00:00:00Z",
+      "software: graft-test\r\n".getBytes(ISO_8859_1), "application/warc-fields") ++
+    warcRecord("request", "https://ex.com/a", "2025-06-01T01:00:00Z",
+      "GET /a HTTP/1.1\r\nHost: ex.com\r\n\r\n".getBytes(ISO_8859_1),
+      "application/http; msgtype=request") ++
+    warcRecord("response", "https://ex.com/a", "2025-06-01T01:00:00Z",
+      httpResponse(200, "text/html", html1)) ++
+    warcRecord("response", "https://ex.com/missing", "2025-06-01T02:00:00Z",
+      httpResponse(404, "text/html", "<html>gone</html>".getBytes(UTF_8))) ++
+    warcRecord("response", "https://ex.com/b", "2025-06-01T03:00:00Z",
+      httpResponse(200, "text/html; charset=utf-8", html2))
+
+  private def gzipPerRecord(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  test("plain WARC: record framing, type filter fields, HTTP split") {
+    val recs = WarcReader.records(new java.io.ByteArrayInputStream(segment())).toList
+    assert(recs.map(_.warcType) == List("warcinfo", "request", "response", "response", "response"))
+    val ok = recs.filter(r => r.warcType == "response" && r.httpStatus == 200)
+    assert(ok.map(_.targetUri) == List("https://ex.com/a", "https://ex.com/b"))
+    assert(ok.head.body.sameElements(html1))
+    assert(ok(1).body.sameElements(html2))
+    assert(ok(1).httpContentType == "text/html; charset=utf-8")
+    assert(recs(3).httpStatus == 404)
+  }
+
+  test("per-record-gzip WARC (the Common Crawl layout) parses through the same path") {
+    val members = Seq(
+      warcRecord("response", "https://ex.com/a", "2025-06-01T01:00:00Z",
+        httpResponse(200, "text/html", html1)),
+      warcRecord("response", "https://ex.com/b", "2025-06-01T03:00:00Z",
+        httpResponse(200, "text/html", html2)))
+    val gz = gzipPerRecord(members)
+    assert(WarcReader.isGzip(gz))
+    val recs = WarcReader.records(new java.io.ByteArrayInputStream(gz)).toList
+    assert(recs.map(_.targetUri) == List("https://ex.com/a", "https://ex.com/b"))
+    assert(recs(1).body.sameElements(html2))
+  }
+
+  test("torn tail yields the good prefix, never throws") {
+    val bytes = segment()
+    val torn = java.util.Arrays.copyOf(bytes, bytes.length - 40) // cut into the last block
+    val recs = WarcReader.records(new java.io.ByteArrayInputStream(torn)).toList
+    assert(recs.length == 4) // last response lost, everything before intact
+    assert(recs.last.httpStatus == 404)
+  }
+
+  test("WarcSource: segment files → Dataset[Page] → extract core end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("seg-00000.warc"), segment())
+    java.nio.file.Files.write(dir.resolve("seg-00001.warc.gz"), gzipPerRecord(Seq(
+      warcRecord("response", "https://ex.com/c", "2025-06-02T00:00:00Z",
+        httpResponse(200, "text/html", html1)))))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("warc-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val pages = graft.pipeline.WarcSource.readPages(spark, s"$dir/seg-*").collect()
+      assert(pages.map(_.url).sorted.toSeq ==
+        Seq("https://ex.com/a", "https://ex.com/b", "https://ex.com/c"))
+      assert(pages.forall(_.warc_ts.getTime > 0))
+      // the 404 is excluded by default, included with onlyHttpOk = false
+      assert(graft.pipeline.WarcSource.readPages(spark, s"$dir/seg-*", onlyHttpOk = false)
+        .count() == 4)
+      // ingested pages flow straight through the extract core
+      val r = ExtractCore.processPage(pages.sortBy(_.url).head.html, "")
+      assert(r.extractedText.contains("first page body with several words"))
+    } finally spark.stop()
+  }
+
+  test("WARC-Date parsing: ISO-8601 ok, garbage → epoch") {
+    assert(graft.pipeline.WarcSource.parseWarcDate("2025-06-01T12:34:56Z").getTime ==
+      java.time.Instant.parse("2025-06-01T12:34:56Z").toEpochMilli)
+    assert(graft.pipeline.WarcSource.parseWarcDate("not-a-date").getTime == 0L)
+  }
+}
