@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+/** WET-style export: the extracted-text twin of [[WarcSource]]. Common
+  * Crawl distributes extraction output as WARC `conversion` records (the
+  * .wet.gz files); emitting the same shape means downstream consumers of
+  * CC WET data can consume this engine's output unchanged.
+  *
+  * Scale shape: one .warc.wet.gz file per partition, written by the task
+  * itself through the Hadoop filesystem (same pattern every columnar sink
+  * uses); records stream out one by one, O(record) memory. Per-record
+  * gzip members, so the files are splittable the same way CC's are —
+  * [[graft.core.warc.WarcReader]] reads them back for the round-trip
+  * gate.
+  */
+object WetExport {
+
+  /** Write `df` (needs `url`, `warc_ts`, `extracted_text` columns) as WET
+    * segment files under `dir`. Returns the number of records written.
+    */
+  def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    import spark.implicits._
+    val slim = df.selectExpr("url", "cast(warc_ts AS string) AS ts", "extracted_text")
+      .as[(String, String, String)]
+    val counts = slim.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")
+      val fs = path.getFileSystem(new Configuration())
+      var n = 0L
+      val out = fs.create(path, true)
+      try {
+        it.foreach { case (url, ts, text) =>
+          val body = (if (text == null) "" else text).getBytes(UTF_8)
+          // WARC-Date is ISO-8601; the column is "yyyy-MM-dd HH:mm:ss[.f]" UTC
+          val iso = ts.replace(' ', 'T').takeWhile(_ != '.') + "Z"
+          val header =
+            "WARC/1.0\r\n" +
+              "WARC-Type: conversion\r\n" +
+              s"WARC-Target-URI: $url\r\n" +
+              s"WARC-Date: $iso\r\n" +
+              s"WARC-Record-ID: <urn:graft:wet:$pid:$n>\r\n" +
+              "Content-Type: text/plain\r\n" +
+              s"Content-Length: ${body.length}\r\n\r\n"
+          val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+          gz.write(header.getBytes(ISO_8859_1))
+          gz.write(body)
+          gz.write("\r\n\r\n".getBytes(ISO_8859_1))
+          gz.finish() // one gzip member per record, like CC
+          n += 1
+        }
+      } finally out.close()
+      Iterator.single(n)
+    }.collect()
+    counts.sum
+  }
+}

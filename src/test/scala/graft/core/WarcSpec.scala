@@ -108,6 +108,36 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("WET round-trip: extract → WET export → WarcReader reads back identical text") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("wet-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val extracted = graft.pipeline.ExtractStage.run(
+        graft.pipeline.ExtractStage.generatePages(spark, 50, partitions = 3))
+        .filter(_.success).toDF()
+      val dir = java.nio.file.Files.createTempDirectory("graft-wet").toString
+      val n = graft.pipeline.WetExport.write(spark, extracted, dir)
+      assert(n == extracted.count())
+      // read every emitted segment back through the WARC reader
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.wet.gz"))
+      assert(files.nonEmpty)
+      val back = files.flatMap { f =>
+        WarcReader.records(new java.io.FileInputStream(f)).map(r =>
+          (r.targetUri, new String(r.body, UTF_8))).toList
+      }.toMap
+      assert(back.size == n)
+      val expect = extracted.selectExpr("url", "extracted_text")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(back == expect, "every WET body must equal its extracted text byte-for-byte")
+      // conversion records carry no HTTP message: status stays -1
+      val one = WarcReader.records(new java.io.FileInputStream(files.head)).next()
+      assert(one.warcType == "conversion" && one.httpStatus == -1)
+    } finally spark.stop()
+  }
+
   test("WARC-Date parsing: ISO-8601 ok, garbage → epoch") {
     assert(graft.pipeline.WarcSource.parseWarcDate("2025-06-01T12:34:56Z").getTime ==
       java.time.Instant.parse("2025-06-01T12:34:56Z").toEpochMilli)

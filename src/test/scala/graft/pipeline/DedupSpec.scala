@@ -94,6 +94,24 @@ class DedupSpec extends AnyFunSuite {
     assert(plain(1L) != plain(2L), "unrelated texts stay apart without canonicals")
   }
 
+  test("starEdges emits 2(k-1) edges per bucket, all through the min-id hub") {
+    import spark.implicits._
+    // bucket a: 4 members; bucket b: 2 members; bucket c: singleton (no edges)
+    val keyed = Seq(
+      (10L, "a"), (11L, "a"), (12L, "a"), (13L, "a"),
+      (20L, "b"), (21L, "b"),
+      (30L, "c")).toDF("id", "band")
+    val edges = Dedup.starEdges(keyed).as[(Long, Long)].collect().toSet
+    // O(k) star, not the O(k²) clique: 2*(4-1) + 2*(2-1) + 0 = 8 edges
+    assert(edges.size == 8)
+    val aEdges = edges.filter { case (s, d) => s / 10 == 1 || d / 10 == 1 }
+    assert(aEdges.forall { case (s, d) => s == 10L || d == 10L },
+      "every bucket-a edge must touch the min-id hub 10")
+    assert(!edges.exists { case (s, d) => s == 30L || d == 30L })
+    // symmetric: both directions present for each undirected edge
+    assert(edges.forall { case (s, d) => edges.contains((d, s)) })
+  }
+
   test("reliable checkpointing yields identical labels (cluster-durable path)") {
     import spark.implicits._
     val cpDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
