@@ -63,7 +63,37 @@ object PagesQueries {
       out
     })
 
+  // WARC segments written once per (session, sfDir) — the crawl-format
+  // interchange surface q68 reads back through the streaming source
+  private val warcCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def warcOut(s: SparkSession, sfDir: String): String =
+    warcCache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-warc-q68").toString
+      val n = math.min(pageCount(sfDir), 1000L)
+      val pages = s.range(0L, n, 1L, 4).map(i =>
+        graft.pipeline.PageGen.page(graft.pipeline.PageGen.DefaultSeed, i))
+      graft.pipeline.WarcWriter.write(s, pages, out)
+      out
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Common-Crawl interchange: pages exported as per-record-gzip WARC
+    // response segments, re-ingested through the streaming WarcSource, and
+    // run through the extract core — the full crawl-format cycle in one
+    // query (rows-only; byte-fidelity pinned in WarcSpec round-trips)
+    "q68_warc_cycle" -> ((s, dir) => {
+      val out = warcOut(s, dir)
+      val pages = graft.pipeline.WarcSource.readPages(s, s"$out/part-*")
+      graft.pipeline.ExtractStage.run(pages).toDF()
+        .groupBy(col("success"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_urls"),
+          sum(col("text_length")).as("total_text_len"))
+        .orderBy(col("success"))
+    }),
 
     // A4 — templates-used group-by (test_extraction.py:56-58 semantics)
     "q50_extract_patterns" -> ((s, dir) =>

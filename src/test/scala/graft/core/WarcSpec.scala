@@ -138,6 +138,30 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("WARC round-trip: Dataset[Page] → WarcWriter → WarcSource, payloads byte-identical") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("warcw-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      // the generator corpus covers HTML, PDFs, invalid-UTF-8, and EMPTY
+      // payloads — all must survive the crawl format byte-for-byte
+      val pages = graft.pipeline.ExtractStage.generatePages(spark, 64, partitions = 3)
+      val dir = java.nio.file.Files.createTempDirectory("graft-warcw").toString
+      val n = graft.pipeline.WarcWriter.write(spark, pages, dir)
+      assert(n == 64)
+      val back = graft.pipeline.WarcSource.readPages(spark, s"$dir/part-*")
+        .collect().map(p => p.url -> p).toMap
+      assert(back.size == 64)
+      pages.collect().foreach { p =>
+        val b = back(p.url)
+        assert(b.html.sameElements(p.html), s"payload drift for ${p.url}")
+        assert(b.warc_ts == p.warc_ts, s"timestamp drift for ${p.url}")
+      }
+    } finally spark.stop()
+  }
+
   test("WARC-Date parsing: ISO-8601 ok, garbage → epoch") {
     assert(graft.pipeline.WarcSource.parseWarcDate("2025-06-01T12:34:56Z").getTime ==
       java.time.Instant.parse("2025-06-01T12:34:56Z").toEpochMilli)
