@@ -170,7 +170,14 @@ object PdfTextExtractor {
               if (tu.find())
                 byNum.get(tu.group(1).toInt).flatMap(_.payload).map(p =>
                   ToUnicodeCMap.parse(new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
-              else None
+              else {
+                // no ToUnicode: fall back to /Encoding /Differences glyph
+                // names (§9.6.6) — inline dict text or an encoding object ref
+                var encText = fontObj.dict
+                val er = java.util.regex.Pattern.compile("/Encoding\\s+(\\d+)\\s+\\d+\\s+R").matcher(fontObj.dict)
+                if (er.find()) byNum.get(er.group(1).toInt).foreach(o => encText = encText + "\n" + o.dict)
+                Option(Encodings.differencesCMap(encText))
+              }
             }
             cmap match {
               case Some(c) => fonts = fonts.updated(name, c)
