@@ -957,6 +957,59 @@ object Queries {
           "SELECT sz, count(*) AS n_clusters FROM " +
           "(SELECT comp, count(*) AS sz FROM labels GROUP BY comp) GROUP BY sz")),
 
+    // Gopher quality rules (Rae et al. 2021 Table A1 — the public standard
+    // web-corpus filter set) as one codegen'd built-ins-only projection;
+    // the oracle recomputes every rule in DuckDB list/string ops and the
+    // per-rule pass counts must match exactly
+    Q("q69_gopher_quality",
+      (s, dir) => t(s, dir, "documents")
+        .select(graft.functions.GraftFunctions.gopherQuality(col("text")).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("g.wordcount_ok"), 1).otherwise(0)).cast("long").as("n_wordcount_ok"),
+          sum(when(col("g.meanlen_ok"), 1).otherwise(0)).cast("long").as("n_meanlen_ok"),
+          sum(when(col("g.symbol_ok"), 1).otherwise(0)).cast("long").as("n_symbol_ok"),
+          sum(when(col("g.bullet_ok"), 1).otherwise(0)).cast("long").as("n_bullet_ok"),
+          sum(when(col("g.ellipsis_ok"), 1).otherwise(0)).cast("long").as("n_ellipsis_ok"),
+          sum(when(col("g.alpha_ok"), 1).otherwise(0)).cast("long").as("n_alpha_ok"),
+          sum(when(col("g.stopword_ok"), 1).otherwise(0)).cast("long").as("n_stopword_ok"),
+          sum(when(col("g.pass"), 1).otherwise(0)).cast("long").as("n_pass")),
+      Some(
+        "SELECT count(*) AS n_docs, " +
+          "CAST(sum(wordcount_ok) AS BIGINT) AS n_wordcount_ok, " +
+          "CAST(sum(meanlen_ok) AS BIGINT) AS n_meanlen_ok, " +
+          "CAST(sum(symbol_ok) AS BIGINT) AS n_symbol_ok, " +
+          "CAST(sum(bullet_ok) AS BIGINT) AS n_bullet_ok, " +
+          "CAST(sum(ellipsis_ok) AS BIGINT) AS n_ellipsis_ok, " +
+          "CAST(sum(alpha_ok) AS BIGINT) AS n_alpha_ok, " +
+          "CAST(sum(stopword_ok) AS BIGINT) AS n_stopword_ok, " +
+          "CAST(sum(wordcount_ok*meanlen_ok*symbol_ok*bullet_ok*ellipsis_ok*alpha_ok*stopword_ok) AS BIGINT) AS n_pass " +
+          "FROM (SELECT " +
+          "CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END AS wordcount_ok, " +
+          "CASE WHEN wc > 0 AND twl/wc >= 3.0 AND twl/wc <= 10.0 THEN 1 ELSE 0 END AS meanlen_ok, " +
+          "CASE WHEN wc > 0 AND (hashes + ellipses)/wc <= 0.1 THEN 1 ELSE 0 END AS symbol_ok, " +
+          "CASE WHEN nl > 0 AND bl/nl <= 0.9 THEN 1 ELSE 0 END AS bullet_ok, " +
+          "CASE WHEN nl > 0 AND el/nl <= 0.3 THEN 1 ELSE 0 END AS ellipsis_ok, " +
+          "CASE WHEN wc > 0 AND aw/wc >= 0.8 THEN 1 ELSE 0 END AS alpha_ok, " +
+          "CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS stopword_ok " +
+          "FROM (SELECT len(wrd)::DOUBLE AS wc, " +
+          "list_sum(list_transform(wrd, x -> len(x)))::DOUBLE AS twl, " +
+          "(len(text) - len(replace(text,'#','')))::DOUBLE AS hashes, " +
+          "((len(text) - len(replace(text,'...','')))/3)::DOUBLE AS ellipses, " +
+          "len(lns)::DOUBLE AS nl, " +
+          "len(list_filter(lns, l -> starts_with(l,'•') OR starts_with(l,'- ') OR starts_with(l,'* ')))::DOUBLE AS bl, " +
+          "len(list_filter(lns, l -> ends_with(l,'...')))::DOUBLE AS el, " +
+          "len(list_filter(wrd, x -> regexp_matches(x,'[A-Za-z]')))::DOUBLE AS aw, " +
+          "(CASE WHEN position(' the ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' be ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' to ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' of ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' and ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' that ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' have ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+          "(CASE WHEN position(' with ' IN lw) > 0 THEN 1 ELSE 0 END) AS stops " +
+          "FROM (SELECT text, string_split(text, ' ') AS wrd, " +
+          "string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM documents)))")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")

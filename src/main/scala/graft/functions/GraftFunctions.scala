@@ -60,6 +60,54 @@ object GraftFunctions {
         least(lit(1.0), stops.cast("double") * 8.0 / nTok) * 0.3)
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models",
+    * Table A1 — the public standard for web-corpus filtering), as a
+    * built-ins-only struct of per-rule booleans + the overall decision.
+    * Built entirely from Catalyst expressions so the whole rule set is
+    * one codegen'd projection (and mirrorable in the DuckDB oracle):
+    *
+    *   wordcount_ok : 50 ≤ #words ≤ 100000
+    *   meanlen_ok   : 3 ≤ mean word length ≤ 10
+    *   symbol_ok    : (#'#' + #'...') / #words ≤ 0.1
+    *   bullet_ok    : ≤ 90% of lines start with a bullet
+    *   ellipsis_ok  : ≤ 30% of lines end with '...'
+    *   alpha_ok     : ≥ 80% of words contain a letter
+    *   stopword_ok  : ≥ 2 distinct of the 8 Gopher stop words appear
+    */
+  def gopherQuality(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val t = coalesce(text, lit(""))
+    val words = split(t, " ")
+    val wc = size(words).cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val totalWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double")
+    val hashCount = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+    val ellipsisCount = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).cast("double")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("double")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double")
+    val lw = concat(lit(" "), lower(t), lit(" "))
+    val stopDistinct = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => when(lw.contains(s" $s "), 1).otherwise(0))
+      .reduce(_ + _)
+    val wordcountOk = wc >= 50 && wc <= 100000
+    val meanlenOk = wc > 0 && totalWordLen / wc >= 3.0 && totalWordLen / wc <= 10.0
+    val symbolOk = wc > 0 && (hashCount + ellipsisCount) / wc <= 0.1
+    val bulletOk = nLines > 0 && bulletLines / nLines <= 0.9
+    val ellipsisOk = nLines > 0 && ellipsisLines / nLines <= 0.3
+    val alphaOk = wc > 0 && alphaWords / wc >= 0.8
+    val stopwordOk = stopDistinct >= 2
+    struct(
+      wordcountOk.as("wordcount_ok"), meanlenOk.as("meanlen_ok"),
+      symbolOk.as("symbol_ok"), bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"), alphaOk.as("alpha_ok"),
+      stopwordOk.as("stopword_ok"),
+      (wordcountOk && meanlenOk && symbolOk && bulletOk &&
+        ellipsisOk && alphaOk && stopwordOk).as("pass"))
+  }
+
   // F1 — pattern classification (key only; confidence via identify_pattern_confidence)
   val identifyPattern = udf((text: String) =>
     if (text == null) null else PatternClassifier.classify(text)._1)

@@ -14,6 +14,34 @@ class FunctionsSpec extends AnyFunSuite {
     s
   }
 
+  test("gopherQuality: each rule trips on its own violation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = ("the data and results have shown that models scale with compute " +
+      (1 to 45).map(k => s"token$k").mkString(" "))
+    val docs = Seq(
+      ("good", good),
+      ("short", "the cat and dog have fun with that"),             // < 50 words
+      ("longwords", "the " + (1 to 60).map(_ => "extraordinarily").mkString(" ") + " and of that have with"), // mean len > 10
+      ("symbols", good.split(" ").map(w => w + "#").mkString(" ")), // symbol ratio > 0.1
+      ("bullets", (1 to 10).map(k => s"- item $k of the list and that have with more words").mkString("\n")), // all lines bulleted but word count ok
+      ("nonalpha", "the of and that have with " + (1 to 60).map(k => s"$k$k$k").mkString(" ")), // numeric words
+      ("nostops", (1 to 60).map(k => s"token$k").mkString(" ")))   // no stop words
+      .toDF("name", "text")
+    val flags = docs.select(col("name"),
+      graft.functions.GraftFunctions.gopherQuality(col("text")).as("g"))
+      .select("name", "g.*").collect()
+      .map(r => r.getString(0) -> (1 until r.length).map(r.getBoolean).toList).toMap
+    // struct order: wordcount, meanlen, symbol, bullet, ellipsis, alpha, stopword, pass
+    assert(flags("good").forall(identity), s"good doc must pass all: ${flags("good")}")
+    assert(!flags("short")(0) && !flags("short").last)
+    assert(!flags("longwords")(1))
+    assert(!flags("symbols")(2))
+    assert(!flags("bullets")(3))
+    assert(!flags("nonalpha")(5))
+    assert(!flags("nostops")(6))
+  }
+
   test("pure-SQL surface: spark.sql over temp views with registered graft functions") {
     // a reference user's SQL-first path: views + SQL text, no DataFrame API
     val pages = graft.pipeline.ExtractStage.generatePages(spark, 50, partitions = 4)
