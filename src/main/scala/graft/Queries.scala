@@ -1010,6 +1010,35 @@ object Queries {
           "FROM (SELECT text, string_split(text, ' ') AS wrd, " +
           "string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM documents)))")),
 
+    // benchmark decontamination (the GPT-3-paper 13-gram standard): a doc
+    // is contaminated when it shares ANY 13-gram with the held-out set
+    // (here: the first 5 docs, so their exact copies in the dup corpus
+    // must be flagged). Scale shape: the benchmark side is tiny and
+    // BROADCAST, so the semi join never shuffles the corpus grams
+    Q("q70_decontamination",
+      (s, dir) => {
+        def grams(df: DataFrame) = df
+          .withColumn("wrd", split(col("text"), " "))
+          .filter(size(col("wrd")) >= 13)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(wrd)-13), i -> concat_ws(' ', slice(wrd, i+1, 13)))")).as("g"))
+        val corpus = dupCorpus(s, dir)
+        val bench = broadcast(
+          grams(corpus.filter(col("doc_id") < 5)).select(col("g")).distinct())
+        val flagged = grams(corpus)
+          .join(bench, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+        flagged.agg(
+          count(lit(1)).as("n_contaminated"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+      },
+      Some(
+        "WITH grams AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(wrd)-12), i -> array_to_string(wrd[i:i+12], ' '))) AS g " +
+          s"FROM (SELECT doc_id, string_split(text, ' ') AS wrd FROM $dupCorpusSql) WHERE len(wrd) >= 13), " +
+          "bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5), " +
+          "flagged AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)) " +
+          "SELECT count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM flagged")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")
