@@ -1039,6 +1039,41 @@ object Queries {
           "flagged AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)) " +
           "SELECT count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM flagged")),
 
+    // Gopher repetition signal: fraction of characters covered by the most
+    // frequent word 2-gram (Rae et al. 2021 repetition filters — the
+    // line-based variants are degenerate on single-line docs, the top
+    // n-gram one is not). Flag counts at the paper's threshold ladder;
+    // outputs are integer-exact (no float aggregation order-dependence)
+    Q("q71_repetition",
+      (s, dir) => {
+        val grams = t(s, dir, "documents")
+          .withColumn("wrd", split(col("text"), " "))
+          .filter(size(col("wrd")) >= 2)
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            explode(expr(
+              "transform(sequence(0, size(wrd)-2), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2)))")).as("g"))
+        val perDoc = grams.groupBy(col("doc_id"), col("n_chars"), col("g"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg(max(col("n") * length(col("g"))).as("top_chars"))
+        perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("top_chars") > col("n_chars") * 0.10, 1).otherwise(0)).cast("long").as("n_over_10pct"),
+          sum(when(col("top_chars") > col("n_chars") * 0.20, 1).otherwise(0)).cast("long").as("n_over_20pct"),
+          sum(when(col("top_chars") > col("n_chars") * 0.30, 1).otherwise(0)).cast("long").as("n_over_30pct"))
+      },
+      Some(
+        "WITH grams AS (SELECT doc_id, len(text) AS n_chars, " +
+          "unnest(list_transform(generate_series(1, len(wrd)-1), i -> wrd[i] || ' ' || wrd[i+1])) AS g " +
+          "FROM (SELECT doc_id, text, string_split(text, ' ') AS wrd FROM documents) WHERE len(wrd) >= 2), " +
+          "per_gram AS (SELECT doc_id, n_chars, g, count(*) AS n FROM grams GROUP BY 1,2,3), " +
+          "per_doc AS (SELECT doc_id, n_chars, max(n * len(g)) AS top_chars FROM per_gram GROUP BY 1,2) " +
+          "SELECT count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN top_chars > n_chars * 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_10pct, " +
+          "CAST(sum(CASE WHEN top_chars > n_chars * 0.20 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_20pct, " +
+          "CAST(sum(CASE WHEN top_chars > n_chars * 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_30pct " +
+          "FROM per_doc")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")
