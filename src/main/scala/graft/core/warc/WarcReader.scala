@@ -83,7 +83,11 @@ object WarcReader {
     val block = readFully(in, len.toInt)
     val warcType = headers.getOrElse("warc-type", "")
     val contentType = headers.getOrElse("content-type", "")
-    // response payloads are HTTP messages: split status/headers from body
+    // response payloads are HTTP messages: split status/headers from body,
+    // then undo the transfer encodings a crawler stores verbatim —
+    // chunked framing first (chunk-size lines are NOT content), then
+    // Content-Encoding gzip/deflate (tolerant: a torn body keeps its raw
+    // bytes rather than losing the record)
     var status = -1
     var httpCt = ""
     var body = block
@@ -96,12 +100,25 @@ object WarcReader {
           val parts = lines(0).split(" ")
           if (parts.length >= 2 && parts(1).forall(_.isDigit)) status = parts(1).toInt
         }
+        var transferEnc = ""
+        var contentEnc = ""
         lines.drop(1).foreach { l =>
           val c = l.indexOf(':')
-          if (c > 0 && l.substring(0, c).trim.equalsIgnoreCase("content-type"))
-            httpCt = l.substring(c + 1).trim
+          if (c > 0) {
+            val k = l.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+            val v = l.substring(c + 1).trim
+            k match {
+              case "content-type" => httpCt = v
+              case "transfer-encoding" => transferEnc = v.toLowerCase(java.util.Locale.ROOT)
+              case "content-encoding" => contentEnc = v.toLowerCase(java.util.Locale.ROOT)
+              case _ =>
+            }
+          }
         }
         body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+        if (transferEnc.contains("chunked")) body = dechunk(body)
+        if (contentEnc.contains("gzip")) body = tryGunzip(body)
+        else if (contentEnc.contains("deflate")) body = tryInflate(body)
       }
     }
     WarcRecord(warcType,
@@ -133,6 +150,70 @@ object WarcReader {
       off += k
     }
     out
+  }
+
+  /** RFC 9112 §7.1 chunked framing: `<hex-size>[;ext]CRLF <data> CRLF`
+    * repeated, `0`-size chunk ends the body (trailers ignored). Malformed
+    * framing returns whatever was decoded so far plus nothing invented.
+    */
+  private[warc] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    var done = false
+    while (!done && i < b.length) {
+      // read the size line
+      var j = i
+      while (j + 1 < b.length && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+      if (j + 1 >= b.length) done = true
+      else {
+        val line = new String(b, i, j - i, ISO_8859_1)
+        val hex = line.takeWhile(c => Character.digit(c, 16) >= 0)
+        if (hex.isEmpty) done = true
+        else {
+          val size = try java.lang.Long.parseLong(hex, 16) catch { case _: NumberFormatException => -1L }
+          if (size <= 0 || size > Int.MaxValue.toLong) done = true // 0 = terminal chunk
+          else {
+            val start = j + 2
+            val end = math.min(b.length, start + size.toInt)
+            out.write(b, start, end - start)
+            i = end + 2 // skip the chunk's trailing CRLF
+            if (end >= b.length) done = true
+          }
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def tryGunzip(b: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b), 1 << 16)
+      val out = new java.io.ByteArrayOutputStream(b.length * 4)
+      val tmp = new Array[Byte](8192)
+      var k = in.read(tmp)
+      while (k >= 0) { out.write(tmp, 0, k); k = in.read(tmp) }
+      out.toByteArray
+    } catch { case scala.util.control.NonFatal(_) => b }
+
+  private def tryInflate(b: Array[Byte]): Array[Byte] = {
+    def run(raw: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(b)
+        val out = new java.io.ByteArrayOutputStream(b.length * 4)
+        val tmp = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val k = inf.inflate(tmp)
+          if (k == 0 && !inf.finished()) return out.toByteArray
+          out.write(tmp, 0, k)
+        }
+        out.toByteArray
+      } finally inf.end()
+    }
+    // "deflate" in the wild is zlib-wrapped OR raw — try both
+    try { val r = run(false); if (r.nonEmpty) r else run(true) }
+    catch { case scala.util.control.NonFatal(_) =>
+      try run(true) catch { case scala.util.control.NonFatal(_) => b } }
   }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {

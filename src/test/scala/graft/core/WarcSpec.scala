@@ -138,6 +138,47 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("HTTP transfer decodings: chunked framing, gzip and deflate bodies, tolerant fallback") {
+    def resp(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes(ISO_8859_1) ++ body
+    def rec(body: Array[Byte]): WarcRecord =
+      WarcReader.records(new java.io.ByteArrayInputStream(
+        warcRecord("response", "https://ex.com/t", "2025-06-01T00:00:00Z", body))).next()
+
+    // chunked: sizes in hex with an extension, terminal 0-chunk + trailer
+    val chunked = "7;ext=1\r\n<html><\r\n10\r\nbody>chunky text\r\n7\r\n</body>\r\n0\r\nX-Trailer: t\r\n\r\n"
+      .getBytes(ISO_8859_1)
+    val c = rec(resp("Content-Type: text/html\r\nTransfer-Encoding: chunked", chunked))
+    assert(new String(c.body, ISO_8859_1) == "<html><body>chunky text</body>")
+
+    // gzip content-encoding
+    val raw = "<html><body>gzipped page body</body></html>".getBytes(UTF_8)
+    val gzBody = { val o = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(o); g.write(raw); g.finish(); o.toByteArray }
+    val g = rec(resp("Content-Type: text/html\r\nContent-Encoding: gzip", gzBody))
+    assert(g.body.sameElements(raw))
+
+    // zlib-wrapped deflate
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val defBody = { val buf = new java.io.ByteArrayOutputStream(); val t = new Array[Byte](1024)
+      while (!d.finished()) { val k = d.deflate(t); buf.write(t, 0, k) }; d.end(); buf.toByteArray }
+    val z = rec(resp("Content-Type: text/html\r\nContent-Encoding: deflate", defBody))
+    assert(z.body.sameElements(raw))
+
+    // chunked + gzip stack (transfer first, then content decoding)
+    val chunkedGz = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(f"${gzBody.length}%x\r\n".getBytes(ISO_8859_1)); o.write(gzBody)
+      o.write("\r\n0\r\n\r\n".getBytes(ISO_8859_1)); o.toByteArray
+    }
+    val cg = rec(resp("Transfer-Encoding: chunked\r\nContent-Encoding: gzip", chunkedGz))
+    assert(cg.body.sameElements(raw))
+
+    // broken gzip: keep the raw bytes rather than losing the record
+    val broken = rec(resp("Content-Encoding: gzip", "not actually gzip".getBytes(UTF_8)))
+    assert(new String(broken.body, UTF_8) == "not actually gzip")
+  }
+
   test("WARC round-trip: Dataset[Page] → WarcWriter → WarcSource, payloads byte-identical") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").appName("warcw-spec")
