@@ -1074,6 +1074,58 @@ object Queries {
           "CAST(sum(CASE WHEN top_chars > n_chars * 0.30 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_30pct " +
           "FROM per_doc")),
 
+    // URL normalization for URL-level dedup (the cheap first pass before
+    // any content hashing): deterministic messy variants — mixed-case
+    // authority, default :80 port, utm tracking params, fragments — built
+    // identically in both dialects from doc_id, then normalized by TWO
+    // INDEPENDENT implementations (UrlResolver.normalizeUrl vs handwritten
+    // DuckDB string/list ops) whose dup-group profile must agree exactly
+    Q("q72_url_normalize",
+      (s, dir) => {
+        val did = col("doc_id")
+        val messy = concat(
+          when(pmod(did, lit(2)) === 0, lit("HTTP://WWW.Site")).otherwise(lit("http://www.site")),
+          pmod(did, lit(7)).cast("string"), lit(".COM"),
+          when(pmod(did, lit(4)) === 0, lit(":80")).otherwise(lit("")),
+          lit("/Path/"), pmod(did, lit(50)).cast("string"),
+          when(pmod(did, lit(3)) === 0, concat(lit("?utm_source=x&id="), pmod(did, lit(50)).cast("string")))
+            .when(pmod(did, lit(3)) === 1, concat(lit("?id="), pmod(did, lit(50)).cast("string")))
+            .otherwise(lit("")),
+          when(pmod(did, lit(5)) === 0, lit("#frag")).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(graft.functions.GraftFunctions.urlNormalize(messy).as("norm"))
+          .groupBy(col("norm")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("c") > 1, 1).otherwise(0)).cast("long").as("n_dup_groups"),
+            sum(col("c") - 1).cast("long").as("n_redundant"))
+      },
+      Some(
+        "WITH messy AS (SELECT " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.Site' ELSE 'http://www.site' END || " +
+          "(doc_id % 7)::VARCHAR || '.COM' || " +
+          "CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END || '/Path/' || (doc_id % 50)::VARCHAR || " +
+          "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || (doc_id % 50)::VARCHAR " +
+          "WHEN doc_id % 3 = 1 THEN '?id=' || (doc_id % 50)::VARCHAR ELSE '' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS u FROM documents), " +
+          "parts AS (SELECT regexp_replace(u, '#.*$', '') AS base, " +
+          "regexp_extract(regexp_replace(u, '#.*$', ''), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*') AS pre FROM messy), " +
+          "np AS (SELECT CASE WHEN lower(pre) LIKE 'http://%' AND lower(pre) LIKE '%:80' THEN substr(lower(pre), 1, len(pre)-3) " +
+          "WHEN lower(pre) LIKE 'https://%' AND lower(pre) LIKE '%:443' THEN substr(lower(pre), 1, len(pre)-4) " +
+          "ELSE lower(pre) END AS pre3, substr(base, len(pre)+1) AS rest FROM parts), " +
+          "split AS (SELECT pre3, " +
+          "CASE WHEN position('?' IN rest) > 0 THEN substr(rest, 1, position('?' IN rest)-1) ELSE rest END AS path, " +
+          "CASE WHEN position('?' IN rest) > 0 THEN substr(rest, position('?' IN rest)+1) ELSE '' END AS query FROM np), " +
+          "normed AS (SELECT pre3 || path || " +
+          "CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS norm FROM (SELECT pre3, path, " +
+          // array_to_string of an empty list is NULL in DuckDB — coalesce
+          // or every query-less URL would normalize to NULL (one group)
+          "coalesce(array_to_string(list_filter(string_split(query, '&'), p -> len(p) > 0 AND NOT starts_with(p, 'utm_') " +
+          "AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')), '&'), '') AS kept FROM split)) " +
+          "SELECT count(*) AS n_groups, " +
+          "CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups, " +
+          "CAST(sum(c - 1) AS BIGINT) AS n_redundant " +
+          "FROM (SELECT norm, count(*) AS c FROM normed GROUP BY 1)")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")

@@ -111,6 +111,37 @@ object UrlResolver {
     render(Parts(b.scheme, b.authority, removeDotSegments(mergedPath), query))
   }
 
+  /** URL normalization for URL-level dedup (the cheap first pass every
+    * crawl pipeline runs before any content hashing):
+    *   1. drop the fragment
+    *   2. lowercase the scheme://authority prefix (path/query case is
+    *      significant, host case is not)
+    *   3. strip default ports (http:80, https:443)
+    *   4. drop tracking query params (utm_*, fbclid, gclid), removing the
+    *      '?' if the query empties
+    * Deliberately algorithmic (split → filter → rejoin) rather than
+    * regex-cleanup so the DuckDB oracle can mirror it step for step.
+    */
+  def normalizeUrl(u0: String): String = {
+    if (u0 == null) return ""
+    val noFrag = { val h = u0.indexOf('#'); if (h >= 0) u0.substring(0, h) else u0 }
+    val preM = java.util.regex.Pattern
+      .compile("^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)").matcher(noFrag)
+    if (!preM.find()) return noFrag // not an absolute http-ish URL: leave as-is
+    var prefix = preM.group(1).toLowerCase(java.util.Locale.ROOT)
+    if (prefix.startsWith("http://") && prefix.endsWith(":80"))
+      prefix = prefix.substring(0, prefix.length - 3)
+    else if (prefix.startsWith("https://") && prefix.endsWith(":443"))
+      prefix = prefix.substring(0, prefix.length - 4)
+    val rest = noFrag.substring(preM.group(1).length)
+    val q = rest.indexOf('?')
+    val path = if (q >= 0) rest.substring(0, q) else rest
+    val query = if (q >= 0) rest.substring(q + 1) else ""
+    val kept = query.split("&", -1).filter(p =>
+      p.nonEmpty && !p.startsWith("utm_") && !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    prefix + path + (if (kept.isEmpty) "" else kept.mkString("?", "&", ""))
+  }
+
   private def render(p: Parts): String = {
     val sb = new java.lang.StringBuilder(p.scheme).append(':')
     if (p.authority.nonEmpty || p.scheme == "http" || p.scheme == "https")

@@ -34,6 +34,12 @@ object GraftFunctions {
     if (html == null) graft.core.html.HeadMeta("", None, noindex = false, nofollow = false)
     else graft.core.html.HeadMeta.parse(graft.core.html.CharsetSniffer.decode(html)))
 
+  /** URL normalization for URL-level dedup — see
+    * [[graft.core.html.UrlResolver.normalizeUrl]] (fragment/default-port/
+    * tracking-param removal, lowercased authority).
+    */
+  val urlNormalize = udf((u: String) => graft.core.html.UrlResolver.normalizeUrl(u))
+
   /** Document quality score in [0, 1] — the q37 signals (length, alphabetic
     * ratio, stopword density) folded into one gate-able number, built from
     * codegen'd built-ins only (no UDF in the curate hot path):
@@ -159,6 +165,7 @@ object GraftFunctions {
     spark.udf.register("recover_fssai", recoverFssai)
     spark.udf.register("strip_code_fences", stripCodeFences)
     spark.udf.register("human_file_size", humanFileSize)
+    spark.udf.register("url_normalize", urlNormalize)
     spark.udf.register("profile_columns", profileColumns)
     spark.udf.register("locate_table", locateTable)
     spark.udf.register("incremental_mean", org.apache.spark.sql.functions.udaf(IncrementalMean))

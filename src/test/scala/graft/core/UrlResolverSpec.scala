@@ -61,6 +61,19 @@ class UrlResolverSpec extends AnyFunSuite {
     assert(resolve("http://a", "g") == "http://a/g") // empty base path
   }
 
+  test("normalizeUrl: case, default ports, fragments, tracking params") {
+    import graft.core.html.UrlResolver.normalizeUrl
+    assert(normalizeUrl("HTTP://WWW.Ex.COM:80/Path?id=1#frag") == "http://www.ex.com/Path?id=1")
+    assert(normalizeUrl("https://Ex.com:443/a") == "https://ex.com/a")
+    assert(normalizeUrl("https://ex.com:8443/a") == "https://ex.com:8443/a") // non-default port kept
+    assert(normalizeUrl("http://ex.com/p?utm_source=x&id=2&utm_medium=y") == "http://ex.com/p?id=2")
+    assert(normalizeUrl("http://ex.com/p?utm_source=x") == "http://ex.com/p") // query empties
+    assert(normalizeUrl("http://ex.com/p?fbclid=abc&gclid=def&q=1") == "http://ex.com/p?q=1")
+    assert(normalizeUrl("http://ex.com/CaseSensitive/Path") == "http://ex.com/CaseSensitive/Path")
+    assert(normalizeUrl("not a url") == "not a url") // non-absolute passes through
+    assert(normalizeUrl(null) == "")
+  }
+
   test("degenerate inputs produce empty, never throw") {
     assert(resolve("not a url", "/x") == "")
     assert(resolve(null, "/x") == "")
