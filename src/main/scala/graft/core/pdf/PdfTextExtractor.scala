@@ -127,12 +127,56 @@ object PdfTextExtractor {
       .compile("/(FlateDecode|ASCIIHexDecode|ASCII85Decode|AHx|A85|Fl)\\b")
       .matcher(dict)
     while (fm.find()) fm.group(1) match {
-      case "FlateDecode" | "Fl"      => payload = inflate(payload)
+      case "FlateDecode" | "Fl"      => payload = unpredict(inflate(payload), dict)
       case "ASCIIHexDecode" | "AHx"  => payload = asciiHexDecode(payload)
       case "ASCII85Decode" | "A85"   => payload = ascii85Decode(payload)
       case _ =>
     }
     payload
+  }
+
+  /** Reverse a PNG predictor declared in /DecodeParms (§7.4.4.4): some
+    * writers predictor-encode /ObjStm and xref streams. Each row is
+    * `filter-byte + Columns bytes` (Colors/BitsPerComponent default 1/8
+    * for the text streams we care about); filters 0–4 per PNG. Predictor
+    * 1 (TIFF) and absent/unknown params leave the data untouched.
+    */
+  private def unpredict(data: Array[Byte], dict: String): Array[Byte] = {
+    val pm = java.util.regex.Pattern.compile("/Predictor\\s+(\\d+)").matcher(dict)
+    if (!pm.find()) return data
+    val predictor = pm.group(1).toInt
+    if (predictor < 10) return data // 1 = none, 2 = TIFF (not emitted for text streams)
+    val cm = java.util.regex.Pattern.compile("/Columns\\s+(\\d+)").matcher(dict)
+    val columns = if (cm.find()) cm.group(1).toInt else 1
+    if (columns <= 0 || data.length % (columns + 1) != 0) return data
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xFF
+      var c = 0
+      while (c < columns) {
+        val raw = data(r * (columns + 1) + 1 + c) & 0xFF
+        val left = if (c > 0) out(r * columns + c - 1) & 0xFF else 0
+        val up = if (r > 0) out((r - 1) * columns + c) & 0xFF else 0
+        val upLeft = if (r > 0 && c > 0) out((r - 1) * columns + c - 1) & 0xFF else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => raw
+        }
+        out(r * columns + c) = (v & 0xFF).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
   }
 
   private val RefPat = java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R\\b")

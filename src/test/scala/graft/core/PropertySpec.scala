@@ -22,6 +22,31 @@ class PropertySpec extends AnyFunSuite {
     Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '|', '-', '/', '.', '₹', '§', '&', '<', '>'),
     Gen.choose(' ', '퟿'))).map(_.mkString)
 
+  test("URL normalization is total and idempotent; resolution output re-resolves to itself") {
+    import graft.core.html.UrlResolver
+    val messyUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS")
+      host <- Gen.oneOf("Ex.COM", "www.site.org", "A.b.C")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/p%20q", "/x/../y", "/dir/")
+      query <- Gen.oneOf("", "?id=1", "?utm_source=x", "?utm_a=1&id=2&gclid=z", "?a=1&b=2")
+      frag <- Gen.oneOf("", "#f", "#a/b?c")
+    } yield s"$scheme://$host$port$path$query$frag"
+    samples(messyUrl, 200).foreach { u =>
+      val once = UrlResolver.normalizeUrl(u)
+      assert(UrlResolver.normalizeUrl(once) == once, s"not idempotent for '$u' -> '$once'")
+    }
+    // arbitrary garbage never throws
+    samples(unicodeString, 200).foreach { s => UrlResolver.normalizeUrl(s) }
+    // resolve() output is absolute: resolving it against any base is identity
+    samples(messyUrl, 100).foreach { u =>
+      val abs = UrlResolver.resolve("http://base.example/dir/page", u)
+      if (abs.nonEmpty)
+        assert(UrlResolver.resolve("http://other.example/", abs) == abs,
+          s"resolved '$u' -> '$abs' is not a fixed point")
+    }
+  }
+
   test("date normalizer is total and idempotent on normalized output") {
     samples(unicodeString).foreach { s =>
       val once = FieldRules.normalizeDate(s) // must not throw
