@@ -44,7 +44,10 @@ object BlockSegmenter {
     * form field's VALUE, not page content — tokenized correctly as literal
     * text, then excluded here like every other non-content subtree).
     */
-  private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed", "textarea")
+  // template: its contents are INERT per HTML5 (parsed into a separate
+  // document fragment, never rendered) — a crawl extractor must not emit
+  // them as page text
+  private val ignorableTags = Set("script", "style", "noscript", "head", "svg", "iframe", "object", "embed", "textarea", "template")
 
   /** Tags legal inside <head> per the HTML5 tree builder's "in head" mode —
     * any OTHER start tag implicitly closes an open head (</head> is

@@ -92,7 +92,10 @@ object GoldenFixtures {
       "textarea_raw" ->
         s"""<body><p>$prose</p><textarea><p>not content</p></textarea><p>$prose again</p></body>""",
       "comment_unterminated" ->
-        s"""<body><p>$prose</p><!-- swallowed to eof <p>ghost words</p>"""
+        s"""<body><p>$prose</p><!-- swallowed to eof <p>ghost words</p>""",
+      "template_svg_inert" ->
+        (s"""<body><p>$prose</p><template><p>inert template ghost</p></template>""" +
+          s"""<svg><text>axis ghost</text><title>chart ghost</title></svg><p>$prose again</p></body>""")
     )
   }
 

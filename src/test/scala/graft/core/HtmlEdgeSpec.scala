@@ -155,6 +155,22 @@ class HtmlEdgeSpec extends AnyFunSuite {
     assert(!toks.exists { case HtmlTokenizer.StartTag("p", _, _) => true; case _ => false })
   }
 
+  test("template contents are inert (HTML5): never extracted as page text") {
+    val prose = (1 to 40).map(k => s"realword$k").mkString(" ")
+    val html = s"<body><p>$prose</p><template><p>ghost template words</p><div>more ghost</div></template><p>$prose</p></body>"
+    val text = graft.core.html.Boilerplate.extract(html).text
+    assert(text.contains("realword1"))
+    assert(!text.contains("ghost"))
+  }
+
+  test("svg figure content (incl. <text> labels) stays out of extracted text") {
+    val prose = (1 to 40).map(k => s"bodyword$k").mkString(" ")
+    val html = s"<body><p>$prose</p><svg viewBox='0 0 10 10'><text x='1' y='1'>axis label</text><title>chart</title></svg><p>$prose</p></body>"
+    val text = graft.core.html.Boilerplate.extract(html).text
+    assert(text.contains("bodyword1"))
+    assert(!text.contains("axis label") && !text.contains("chart"))
+  }
+
   test("nav link-soup is boilerplate; surrounded content survives (link-density rule)") {
     // >40 words: the published rules demand MORE words of a block that
     // follows a link-dense neighbor (nav) before calling it content
