@@ -45,6 +45,29 @@ object WarcSource {
     }
   }
 
+  /** Continuous crawl ingestion: a Structured Streaming source over a
+    * landing directory — each NEW segment file becomes one row of the
+    * `binaryFile` stream, parsed into Pages in the same micro-batch.
+    * Pair with `StreamingIngest.commitBatch` in `foreachBatch` for
+    * exactly-once commits into the partitioned table (tested end-to-end
+    * in `WarcSpec`). Scale note: `binaryFile` materializes each segment
+    * as one row, so size streamed segments to executor memory (CC's ~1 GB
+    * segments fit); the batch path (`readPages`) streams with O(record)
+    * memory and remains the bulk-backfill tool.
+    */
+  def readPagesStream(spark: SparkSession, dir: String, onlyHttpOk: Boolean = true): Dataset[Page] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        WarcReader.records(new java.io.ByteArrayInputStream(bytes))
+          .filter(r => r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
+          .map(r => Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))
+      }
+  }
+
   /** WARC-Date is ISO-8601 (e.g. 2025-06-01T12:00:00Z); unparseable dates
     * map to epoch rather than killing the segment.
     */

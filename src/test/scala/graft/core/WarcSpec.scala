@@ -203,6 +203,42 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("continuous crawl ingestion: streamed WARC segments → exactly-once committed table") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("warc-stream-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      val landing = java.nio.file.Files.createTempDirectory("graft-warc-landing")
+      val out = java.nio.file.Files.createTempDirectory("graft-warc-table").toString
+      def seg(urls: Seq[String]): Array[Byte] = gzipPerRecord(urls.map(u =>
+        warcRecord("response", u, "2025-06-02T00:00:00Z", httpResponse(200, "text/html", html1))))
+      // first segment lands before the stream starts
+      java.nio.file.Files.write(landing.resolve("seg-0.warc.gz"), seg(Seq("https://s.com/a", "https://s.com/b")))
+
+      val pages = graft.pipeline.WarcSource.readPagesStream(spark, landing.toString)
+      val q = pages.writeStream
+        .option("checkpointLocation", java.nio.file.Files.createTempDirectory("graft-warc-ck").toString)
+        .foreachBatch((ds: org.apache.spark.sql.Dataset[graft.pipeline.Page], id: Long) =>
+          graft.pipeline.StreamingIngest.commitBatch(out, numBuckets = 8)(ds, id))
+        .start()
+      q.processAllAvailable()
+      // a second segment arrives while the stream runs → new micro-batch
+      java.nio.file.Files.write(landing.resolve("seg-1.warc.gz"), seg(Seq("https://s.com/c")))
+      q.processAllAvailable()
+      q.stop()
+
+      val table = graft.pipeline.StreamingIngest.readAll(spark, out)
+      import spark.implicits._
+      assert(table.select($"url").as[String].collect().sorted.toSeq ==
+        Seq("https://s.com/a", "https://s.com/b", "https://s.com/c"))
+      // two distinct committed micro-batches, every row extracted
+      assert(table.select($"ingest_batch").distinct().count() == 2)
+      assert(table.filter($"success").count() == 3)
+    } finally spark.stop()
+  }
+
   test("WARC-Date parsing: ISO-8601 ok, garbage → epoch") {
     assert(graft.pipeline.WarcSource.parseWarcDate("2025-06-01T12:34:56Z").getTime ==
       java.time.Instant.parse("2025-06-01T12:34:56Z").toEpochMilli)
