@@ -1126,6 +1126,32 @@ object Queries {
           "CAST(sum(c - 1) AS BIGINT) AS n_redundant " +
           "FROM (SELECT norm, count(*) AS c FROM normed GROUP BY 1)")),
 
+    // deterministic stratified sampling — training-mix construction: keep
+    // each doc iff md5-hash-bucket(doc_id) < its language's per-mille rate
+    // (en 600‰, others 250‰). Hash-based, not RNG-based, so the sample is
+    // REPRODUCIBLE and exactly mirrorable (the md5→int convention the
+    // MinHash oracles already pin); resampling with the same rates always
+    // returns the identical set — the property a training run needs
+    Q("q73_stratified_sample",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("bucket",
+          pmod(expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS BIGINT)"), lit(1000)))
+        .withColumn("kept", when(col("lang") === "en", col("bucket") < 600)
+          .otherwise(col("bucket") < 250))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_sampled"),
+          sum(when(col("kept"), col("doc_id")).otherwise(0)).cast("long").as("sampled_id_sum"))
+        .orderBy(col("lang")),
+      Some(
+        "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled, " +
+          "CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS sampled_id_sum " +
+          "FROM (SELECT lang, doc_id, " +
+          "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000) < " +
+          "(CASE WHEN lang = 'en' THEN 600 ELSE 250 END) AS kept FROM documents) " +
+          "GROUP BY lang ORDER BY lang")),
+
     // language-ID by stopword occurrence (n-gram heuristic, integer-exact)
     Q("q36_langid",
       (s, dir) => t(s, dir, "documents")
