@@ -54,8 +54,27 @@ object CharsetSniffer {
     */
   private[core] def prescan(bytes: Array[Byte]): Option[String] = {
     val n = math.min(bytes.length, 1024)
-    val s = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+    val raw = new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
+    // HTML5 prescan skips comment spans BEFORE looking for meta tags — a
+    // commented-out `<!-- <meta charset=...> -->` must not override the
+    // page's real encoding. Blank the spans (an unterminated comment runs
+    // to the end of the window, as in the spec's bogus-comment handling).
+    val s = {
+      var ci = raw.indexOf("<!--")
+      if (ci < 0) raw
+      else {
+        val sb = new StringBuilder(raw)
+        while (ci >= 0) {
+          val ce = raw.indexOf("-->", ci + 4)
+          val end = if (ce < 0) raw.length else ce + 3
+          var k = ci
+          while (k < end) { sb.setCharAt(k, ' '); k += 1 }
+          ci = raw.indexOf("<!--", end)
+        }
+        sb.toString
+      }
+    }
     var i = s.indexOf("charset")
     while (i >= 0) {
       val lt = s.lastIndexOf('<', i)

@@ -46,12 +46,31 @@ object WarcReader {
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = null
       private var done = false
+      // a resync found the next record's version line before readOne ran
+      private var pendingVersionLine: String = null
+
+      /** Best-effort resync after ONE malformed record: scan forward for a
+        * line starting with "WARC/" and resume there. A single bad header
+        * (non-numeric Content-Length, corrupt record) must not silently
+        * drop every remaining record of an otherwise-good multi-member
+        * segment.
+        */
+      private def resync(): Unit = {
+        var l = readLine(in)
+        while (l != null && !l.startsWith("WARC/")) l = readLine(in)
+        if (l == null) done = true else pendingVersionLine = l
+      }
 
       private def advance(): Unit = {
         while (nextRec == null && !done) {
           try {
-            nextRec = readOne(in)
-            if (nextRec == null) done = true
+            val first = pendingVersionLine
+            pendingVersionLine = null
+            readOne(in, first) match {
+              case ReadEof => done = true
+              case ReadOk(r) => nextRec = r
+              case ReadMalformed => resync()
+            }
           } catch {
             case _: EOFException => done = true
             case scala.util.control.NonFatal(_) => done = true // torn tail
@@ -59,17 +78,31 @@ object WarcReader {
         }
       }
       def hasNext: Boolean = { advance(); !done }
-      def next(): WarcRecord = { advance(); val r = nextRec; nextRec = null; r }
+      def next(): WarcRecord = {
+        advance()
+        if (done) throw new NoSuchElementException("WARC stream exhausted")
+        val r = nextRec; nextRec = null; r
+      }
     }
   }
 
-  /** Read a single record, or null at clean EOF. */
-  private def readOne(in: InputStream): WarcRecord = {
-    var line = readLine(in)
+  private sealed trait ReadResult
+  private final case class ReadOk(rec: WarcRecord) extends ReadResult
+  private case object ReadEof extends ReadResult
+  private case object ReadMalformed extends ReadResult
+
+  /** Read a single record; EOF at a record boundary, or a malformed header
+    * (non-numeric / absurd Content-Length, desynced version line) that the
+    * caller should resync past.
+    *
+    * @param firstLine a version line a prior resync already consumed, or null
+    */
+  private def readOne(in: InputStream, firstLine: String): ReadResult = {
+    var line = if (firstLine != null) firstLine else readLine(in)
     // skip blank separator lines between records
     while (line != null && line.isEmpty) line = readLine(in)
-    if (line == null) return null
-    if (!line.startsWith("WARC/")) return null // desynced: stop
+    if (line == null) return ReadEof
+    if (!line.startsWith("WARC/")) return ReadMalformed // desynced: resync
     val headers = scala.collection.mutable.HashMap.empty[String, String]
     var h = readLine(in)
     while (h != null && h.nonEmpty) {
@@ -78,8 +111,9 @@ object WarcReader {
         h.substring(c + 1).trim
       h = readLine(in)
     }
-    val len = headers.getOrElse("content-length", "0").toLong
-    if (len < 0 || len > (1L << 31) - 16) throw new EOFException("bad length")
+    // a malformed Content-Length poisons only THIS record, not the segment
+    val len = headers.getOrElse("content-length", "0").toLongOption.getOrElse(-1L)
+    if (len < 0 || len > (1L << 31) - 16) return ReadMalformed
     val block = readFully(in, len.toInt)
     val warcType = headers.getOrElse("warc-type", "")
     val contentType = headers.getOrElse("content-type", "")
@@ -121,10 +155,10 @@ object WarcReader {
         else if (contentEnc.contains("deflate")) body = tryInflate(body)
       }
     }
-    WarcRecord(warcType,
+    ReadOk(WarcRecord(warcType,
       headers.getOrElse("warc-target-uri", ""),
       headers.getOrElse("warc-date", ""),
-      contentType, status, httpCt, body)
+      contentType, status, httpCt, body))
   }
 
   /** Read a CRLF- (or bare-LF-) terminated ISO-8859-1 line; null at EOF

@@ -89,14 +89,28 @@ object StreamingIngest {
       }
       .start()
 
+  /** The table schema before any batch lands: the extract row plus the
+    * three partition columns. Lets a freshly-initialized table answer
+    * reads with an EMPTY DataFrame instead of AnalysisException-ing on a
+    * data directory that doesn't exist yet.
+    */
+  private def emptyTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[ExtractedPage].toDF()
+      .withColumn("ingest_batch", lit(0L))
+      .withColumn("part_bucket", lit(0))
+      .withColumn("warc_day", to_date(col("warc_ts")))
+  }
+
   /** Read the streaming-committed table (only manifest-committed batches —
     * a torn batch's files exist but aren't query-consistent yet).
     */
   def readCommitted(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
     val committed = committedBatches(outDir).toSeq
-    val df = spark.read.parquet(s"$outDir/data")
-    if (committed.isEmpty) df.filter(lit(false))
-    else df.filter(col("ingest_batch").isin(committed.map(java.lang.Long.valueOf): _*))
+    if (committed.isEmpty || !Files.exists(Paths.get(outDir, "data")))
+      return emptyTable(spark)
+    spark.read.parquet(s"$outDir/data")
+      .filter(col("ingest_batch").isin(committed.map(java.lang.Long.valueOf): _*))
   }
 
   // ---- compaction ---------------------------------------------------------

@@ -1,9 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import graft.core.warc.WarcReader
+import graft.core.warc.{SerializableHadoopConf, WarcReader}
 
 /** Common-Crawl-style ingestion: WARC segment files → `Dataset[Page]` (the
   * driver-contract input shape), feeding the same extract pipeline as any
@@ -29,14 +28,19 @@ object WarcSource {
   def readPages(spark: SparkSession, glob: String, onlyHttpOk: Boolean = true): Dataset[Page] = {
     import spark.implicits._
     val p = new Path(glob)
-    val fs = p.getFileSystem(new Configuration())
+    // session Hadoop conf, not `new Configuration()`: the driver listing and
+    // every executor-side open must honor spark.hadoop.* (S3A credentials,
+    // endpoints) exactly like the built-in sources do
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
     val paths = spark.createDataset(files).repartition(math.max(1, files.size))
     paths.mapPartitions { it =>
       it.flatMap { pathStr =>
         val path = new Path(pathStr)
-        val in = path.getFileSystem(new Configuration()).open(path)
+        val in = path.getFileSystem(confBc.value.value).open(path)
         val recs = WarcReader.records(in)
           .filter(r => r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
           .map(r => Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))

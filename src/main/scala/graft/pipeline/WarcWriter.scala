@@ -1,9 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.ISO_8859_1
+import graft.core.warc.{GzipMemberWriter, SerializableHadoopConf}
 
 /** WARC export: materialize a `Dataset[Page]` as Common-Crawl-layout
   * response segments (`.warc.gz`, one per partition, per-record gzip
@@ -17,12 +17,20 @@ object WarcWriter {
   /** Write pages as HTTP-200 response records. Returns records written. */
   def write(spark: SparkSession, pages: Dataset[Page], dir: String): Long = {
     import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val counts = pages.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(f"$dir/part-$pid%05d.warc.gz")
-      val fs = path.getFileSystem(new Configuration())
+      // session Hadoop conf (broadcast): executor-side create honors
+      // spark.hadoop.* the same as any built-in sink
+      val fs = path.getFileSystem(confBc.value.value)
       var n = 0L
       val out = fs.create(path, true)
+      // ONE reused Deflater for the whole file — a GZIPOutputStream per
+      // record would allocate (and, finish()ed-but-unclosed, leak until GC)
+      // one native Deflater per record
+      val gz = new GzipMemberWriter(out)
       try {
         it.foreach { p =>
           val body = if (p.html == null) Array.empty[Byte] else p.html
@@ -37,15 +45,14 @@ object WarcWriter {
               s"WARC-Record-ID: <urn:graft:warc:$pid:$n>\r\n" +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${http.length + body.length}\r\n\r\n"
-          val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
-          gz.write(header.getBytes(ISO_8859_1))
-          gz.write(http)
-          gz.write(body)
-          gz.write("\r\n\r\n".getBytes(ISO_8859_1))
-          gz.finish() // one member per record, CC layout
+          gz.writeMember(header.getBytes(ISO_8859_1), http, body,
+            "\r\n\r\n".getBytes(ISO_8859_1)) // one member per record, CC layout
           n += 1
         }
-      } finally out.close()
+      } finally {
+        gz.close()
+        out.close()
+      }
       Iterator.single(n)
     }.collect()
     counts.sum

@@ -1,9 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import graft.core.warc.{GzipMemberWriter, SerializableHadoopConf}
 
 /** WET-style export: the extracted-text twin of [[WarcSource]]. Common
   * Crawl distributes extraction output as WARC `conversion` records (the
@@ -26,12 +26,18 @@ object WetExport {
     import spark.implicits._
     val slim = df.selectExpr("url", "cast(warc_ts AS string) AS ts", "extracted_text")
       .as[(String, String, String)]
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val counts = slim.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")
-      val fs = path.getFileSystem(new Configuration())
+      // session Hadoop conf (broadcast), and ONE reused Deflater per task —
+      // same fixes as WarcWriter (credentials honored, no per-record native
+      // Deflater leak)
+      val fs = path.getFileSystem(confBc.value.value)
       var n = 0L
       val out = fs.create(path, true)
+      val gz = new GzipMemberWriter(out)
       try {
         it.foreach { case (url, ts, text) =>
           val body = (if (text == null) "" else text).getBytes(UTF_8)
@@ -45,14 +51,14 @@ object WetExport {
               s"WARC-Record-ID: <urn:graft:wet:$pid:$n>\r\n" +
               "Content-Type: text/plain\r\n" +
               s"Content-Length: ${body.length}\r\n\r\n"
-          val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
-          gz.write(header.getBytes(ISO_8859_1))
-          gz.write(body)
-          gz.write("\r\n\r\n".getBytes(ISO_8859_1))
-          gz.finish() // one gzip member per record, like CC
+          gz.writeMember(header.getBytes(ISO_8859_1), body,
+            "\r\n\r\n".getBytes(ISO_8859_1)) // one gzip member per record, like CC
           n += 1
         }
-      } finally out.close()
+      } finally {
+        gz.close()
+        out.close()
+      }
       Iterator.single(n)
     }.collect()
     counts.sum

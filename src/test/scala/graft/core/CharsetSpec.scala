@@ -61,6 +61,21 @@ class CharsetSpec extends AnyFunSuite {
     assert(text.contains(jp))
   }
 
+  test("commented-out meta charset is skipped by the prescan (HTML5 comment rule)") {
+    // the real declaration AFTER the comment must win
+    val html = s"<!-- <meta charset=shift_jis> --><meta charset=windows-1252>" +
+      s"<body><p>$prose café</p></body>"
+    assert(CharsetSniffer.prescan(html.getBytes(StandardCharsets.ISO_8859_1))
+      .contains("windows-1252"))
+    // only a commented declaration → fall through to UTF-8 (no false match)
+    val onlyComment = s"<!-- <meta charset=shift_jis> --><body><p>$prose xé</p></body>"
+    assert(CharsetSniffer.prescan(onlyComment.getBytes(StandardCharsets.ISO_8859_1)).isEmpty)
+    assert(CharsetSniffer.decode(onlyComment.getBytes(StandardCharsets.UTF_8)).contains("xé"))
+    // unterminated comment blanks to the end of the 1 KB window
+    val unterminated = s"<!-- <meta charset=shift_jis> <body><p>$prose</p></body>"
+    assert(CharsetSniffer.prescan(unterminated.getBytes(StandardCharsets.ISO_8859_1)).isEmpty)
+  }
+
   test("unknown or absent labels fall back to UTF-8 (fixture-identical policy)") {
     val noMeta = s"<body><p>$prose plainé</p></body>".getBytes(StandardCharsets.UTF_8)
     assert(CharsetSniffer.decode(noMeta).contains("plainé"))

@@ -239,6 +239,39 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("one malformed header resyncs to the next record instead of dropping the rest") {
+    // record 2 of 4 carries a non-numeric Content-Length: the reader must
+    // skip IT, not end iteration — a 1 GB segment with one corrupt header
+    // should still yield every other record (ADVICE r3)
+    val good1 = warcRecord("response", "https://ex.com/ok1", "2025-06-01T01:00:00Z",
+      httpResponse(200, "text/html", html1))
+    val badHeader =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://ex.com/bad\r\n" +
+        "WARC-Date: 2025-06-01T01:30:00Z\r\nContent-Type: application/http; msgtype=response\r\n" +
+        "Content-Length: oops\r\n\r\n").getBytes(ISO_8859_1) ++
+        httpResponse(200, "text/html", "<html>bad</html>".getBytes(UTF_8)) ++
+        "\r\n\r\n".getBytes(ISO_8859_1)
+    val good2 = warcRecord("response", "https://ex.com/ok2", "2025-06-01T02:00:00Z",
+      httpResponse(200, "text/html", html2))
+    val seg = good1 ++ badHeader ++ good2
+    val recs = WarcReader.records(new java.io.ByteArrayInputStream(seg)).toList
+    // the resync scans line-wise for "WARC/": the bad record is consumed,
+    // both good records (before AND after it) survive
+    assert(recs.map(_.targetUri).contains("https://ex.com/ok1"))
+    assert(recs.map(_.targetUri).contains("https://ex.com/ok2"))
+    assert(recs.count(_.targetUri == "https://ex.com/bad") == 0)
+  }
+
+  test("next() past exhaustion throws NoSuchElementException") {
+    val it = WarcReader.records(new java.io.ByteArrayInputStream(segment()))
+    while (it.hasNext) it.next()
+    intercept[NoSuchElementException] { it.next() }
+    // and on an empty stream too
+    val empty = WarcReader.records(new java.io.ByteArrayInputStream(Array.empty[Byte]))
+    assert(!empty.hasNext)
+    intercept[NoSuchElementException] { empty.next() }
+  }
+
   test("WARC-Date parsing: ISO-8601 ok, garbage → epoch") {
     assert(graft.pipeline.WarcSource.parseWarcDate("2025-06-01T12:34:56Z").getTime ==
       java.time.Instant.parse("2025-06-01T12:34:56Z").toEpochMilli)

@@ -129,4 +129,14 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(afterVacuum.count() == 320
       && afterVacuum.select("url").distinct().count() == 320)
   }
+
+  test("freshly-initialized table reads as EMPTY, not AnalysisException") {
+    val out = tmp() // no batch ever written: no data/ dir, no manifest
+    val committed = StreamingIngest.readCommitted(spark, out)
+    assert(committed.count() == 0)
+    // schema matches the real table so downstream code can union/select
+    assert(committed.columns.contains("url") && committed.columns.contains("ingest_batch")
+      && committed.columns.contains("part_bucket") && committed.columns.contains("warc_day"))
+    assert(StreamingIngest.readAll(spark, out).count() == 0)
+  }
 }
