@@ -546,6 +546,34 @@ object Queries {
       out
     })
 
+  /** Incrementally-curated corpus: the SAME corpus as q62's table, but
+    * built in TWO phases — full curation of the odd-id half, then
+    * `curateIncrement` of the even-id half probing the persisted band-key
+    * index (round-3 verdict #1: a continuous pipeline can't re-cluster
+    * 100 TB per batch). q74 aggregates the result against the FULL-corpus
+    * oracle, so DuckDB independently pins incremental ≡ full recompute.
+    * The even half carries smaller ids than some odd canonicals, so the
+    * increment exercises demotions, not just appends.
+    */
+  private val incrCuratedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def incrCuratedOut(s: SparkSession, dir: String): String =
+    incrCuratedCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-incr-curated").toString
+      val corpus = dupCorpus(s, dir)
+        .withColumn("url", concat(lit("doc://"), col("doc_id")))
+        .withColumn("warc_ts", lit("2024-03-15 12:00:00").cast("timestamp"))
+      graft.pipeline.CuratedPipeline.run(s,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 1), out,
+        idCol = "doc_id", textCol = "text",
+        numBuckets = 16, snapshotGroups = 2, runId = "q74")
+      graft.pipeline.CuratedPipeline.curateIncrement(s,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 0), out,
+        idCol = "doc_id", textCol = "text",
+        numBuckets = 16, runId = "q74inc")
+      out
+    })
+
   /** The q44/q46 oracle prefix: full transitive closure over the clique
     * edges via a recursive CTE (reachability is identical over clique and
     * star edges, so the oracle pins the Spark star-edge shortcut too).
@@ -1232,6 +1260,23 @@ object Queries {
     Q("q62_curated_corpus",
       (s, dir) => {
         val kept = s.read.parquet(curatedOut(s, dir) + "/data")
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_kept_ids"),
+          sum(col("n_chars").cast("long")).as("sum_kept_chars"))
+      },
+      Some(s"$dupClusterCte, kept AS (SELECT DISTINCT comp AS doc_id FROM labels " +
+        s"UNION ALL SELECT doc_id FROM $dupCorpusSql WHERE len(string_split(text,' ')) < 3) " +
+        "SELECT count(*) AS n_kept, CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids, " +
+        s"CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars FROM kept k JOIN $dupCorpusSql d ON d.doc_id = k.doc_id")),
+
+    // INCREMENTAL curation: same corpus, built as run(odd half) then
+    // curateIncrement(even half) probing the persisted band-key index —
+    // the oracle is the FULL-corpus kept formulation (identical to q62's),
+    // so a green row proves incremental ≡ full recompute in an independent
+    // engine, demotions included
+    Q("q74_incremental_curation",
+      (s, dir) => {
+        val kept = s.read.parquet(incrCuratedOut(s, dir) + "/data")
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_kept_ids"),
           sum(col("n_chars").cast("long")).as("sum_kept_chars"))

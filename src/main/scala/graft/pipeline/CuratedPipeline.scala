@@ -50,14 +50,31 @@ object CuratedPipeline {
       runId: String = "curate",
       precomputedLabels: Option[DataFrame] = None,
       canonicalCol: Option[String] = None,
-      reliable: Boolean = false): Seq[LineageRow] = {
+      reliable: Boolean = false,
+      persistIndex: Boolean = true): Seq[LineageRow] = {
+
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
 
     val done = ExtractPipeline.committedBuckets(outDir)
     val remaining = (0 until numBuckets).filterNot(done)
     if (remaining.isEmpty) return Seq.empty
 
-    val labels = precomputedLabels.getOrElse(
-      Dedup.clusterLabels(corpus, idCol, textCol, canonicalCol, reliable))
+    // band keys computed ONCE and shared between the components pass and
+    // the persisted index — the index is what curateIncrement probes so a
+    // later ingest batch never re-clusters the whole corpus
+    val keyed =
+      if (persistIndex || precomputedLabels.isEmpty)
+        Some(cp(Dedup.bandKeys(corpus, idCol, textCol, canonicalCol)))
+      else None
+    val labelsRaw = precomputedLabels.getOrElse {
+      val edges = cp(Dedup.starEdges(keyed.get))
+      Dedup.connectedComponents(keyed.get.select(col("id")).distinct(), edges,
+        reliable = reliable)
+    }
+    if (persistIndex)
+      writeIndex(spark, outDir, keyed.get, labelsRaw, increment = 0L, labelsVersion = 1L)
+    val labels = labelsRaw
       .select(col("id").as("__cid"), col("comp").as("__comp"))
 
     // keep = canonical doc per cluster (id == comp) ∪ unlabeled short docs.
@@ -124,6 +141,220 @@ object CuratedPipeline {
       allLineage ++= lineage
     }
     allLineage.toSeq
+  }
+
+  // ---- the persisted dedup index + incremental curation ------------------
+  //
+  // A continuous pipeline ingesting crawl batches cannot re-run global
+  // LSH + connected components over 100 TB per day (round-3 verdict #1).
+  // `run` therefore persists its dedup state as two committed tables next
+  // to the kept corpus:
+  //
+  //   out/index/bands/increment=<k>/   (id, band)  — every band key ever
+  //                                                  seen, appended per batch
+  //   out/index/labels/v<N>/           (id, comp)  — current global labels,
+  //                                                  versioned like compaction
+  //   out/_manifest/index_manifest.jsonl — {"increment":k,"labels_version":N}
+  //                                        appended AFTER both writes commit
+  //
+  // `curateIncrement(newBatch)` then curates a new batch by PROBING the
+  // stored index instead of re-clustering the world:
+  //
+  //   1. band-key the new docs (one scan of the batch only);
+  //   2. join stored keys → stored labels, restricted (semi join) to bands
+  //      the new batch actually collides with — any two STORED docs sharing
+  //      a band are already in one component, so each stored component can
+  //      be CONTRACTED to its label vertex (= the component's min id);
+  //   3. run connected components over the tiny contracted graph
+  //      (new ids ∪ collided component labels). Min-label propagation over
+  //      the contraction yields exactly the full-recompute labels: the
+  //      contraction preserves reachability, and each contracted vertex
+  //      already carries its component's minimum.
+  //   4. the kept corpus updates by delta: new canonicals append; a stored
+  //      canonical whose component label shrank (a new doc bridged it to a
+  //      smaller id) is DEMOTED and its bucket rewritten. Only buckets
+  //      touched by an appended or demoted row are written at all.
+  //
+  // Work is O(batch + collided components), not O(corpus). Determinism
+  // makes `incremental ≡ full recompute` an exact equality
+  // (CuratedPipelineSpec proves kept-set and label-table equality, q74
+  // pins it against the DuckDB full-corpus oracle).
+
+  private def indexBandsDir(outDir: String) = s"$outDir/index/bands"
+  private def indexLabelsDir(outDir: String, v: Long) = s"$outDir/index/labels/v$v"
+
+  /** (current labels version, committed increment ids); (0, ∅) = no index. */
+  def indexState(outDir: String): (Long, Set[Long]) = {
+    val mf = java.nio.file.Paths.get(outDir, "_manifest", "index_manifest.jsonl")
+    if (!java.nio.file.Files.exists(mf)) return (0L, Set.empty)
+    var version = 0L
+    val incs = scala.collection.mutable.Set.empty[Long]
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(mf).asScala.foreach { line =>
+      val vm = java.util.regex.Pattern.compile("\"labels_version\":(\\d+)").matcher(line)
+      if (vm.find()) version = math.max(version, vm.group(1).toLong)
+      val im = java.util.regex.Pattern.compile("\"increment\":(\\d+)").matcher(line)
+      if (im.find()) incs += im.group(1).toLong
+    }
+    (version, incs.toSet)
+  }
+
+  private def writeIndex(spark: SparkSession, outDir: String,
+      keys: DataFrame, labels: DataFrame, increment: Long, labelsVersion: Long): Unit = {
+    keys.select(col("id"), col("band")).withColumn("increment", lit(increment))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("increment")
+      .option("partitionOverwriteMode", "dynamic") // replay rewrites only increment=<k>
+      .parquet(indexBandsDir(outDir))
+    labels.select(col("id"), col("comp")).write.mode(SaveMode.Overwrite)
+      .parquet(indexLabelsDir(outDir, labelsVersion))
+    val dir = java.nio.file.Paths.get(outDir, "_manifest")
+    java.nio.file.Files.createDirectories(dir)
+    val line = s"""{"increment":$increment,"labels_version":$labelsVersion}""" + "\n"
+    java.nio.file.Files.write(dir.resolve("index_manifest.jsonl"), line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  /** Read the current (id, comp) labels table — the committed materialized
+    * form of `Dedup.clusterLabels` over everything curated so far, for any
+    * OTHER session/consumer to join against.
+    */
+  def readLabels(spark: SparkSession, outDir: String): DataFrame = {
+    val (v, _) = indexState(outDir)
+    require(v >= 1, s"no curated index at $outDir — run() writes it (persistIndex=true)")
+    spark.read.parquet(indexLabelsDir(outDir, v))
+  }
+
+  /** Curate a NEW batch against an existing curated corpus by probing the
+    * stored band-key index (see the design note above). The result state —
+    * kept corpus, labels table, band index — is EXACTLY what a full
+    * `run(old ∪ new)` on a fresh directory would produce.
+    *
+    * Crash safety: every step is deterministic and the index manifest line
+    * is appended LAST, so a killed increment replays from the previous
+    * committed index and converges on the identical state.
+    *
+    * @param newBatch same shape as `run`'s corpus; ids must be globally
+    *                 unique and DISJOINT from everything already curated
+    * @return lineage rows (one per rewritten bucket)
+    */
+  def curateIncrement(spark: SparkSession, newBatch: DataFrame, outDir: String,
+      idCol: String = "id", textCol: String = "text",
+      numBuckets: Int = 32, runId: String = "increment",
+      canonicalCol: Option[String] = None,
+      reliable: Boolean = false): Seq[LineageRow] = {
+    def cp(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val t0 = System.nanoTime()
+
+    val (curVersion, incs) = indexState(outDir)
+    require(curVersion >= 1, s"no curated index at $outDir — run() writes it (persistIndex=true)")
+    val storedKeys = spark.read.parquet(indexBandsDir(outDir)).select(col("id"), col("band"))
+    val storedLabels = spark.read.parquet(indexLabelsDir(outDir, curVersion))
+
+    // 1. band-key the batch (the only full pass over the new data)
+    val newKeys = cp(Dedup.bandKeys(newBatch, idCol, textCol, canonicalCol))
+
+    // 2. probe: stored components touching a collided band, contracted to
+    // their label vertex. The semi join is the index lookup — stored keys
+    // on non-collided bands are never shuffled further.
+    val collidedBands = newKeys.select(col("band")).distinct()
+    val storedCompKeys = storedKeys
+      .join(collidedBands, Seq("band"), "left_semi")
+      .join(storedLabels, Seq("id"))
+      .select(col("comp").as("id"), col("band")).distinct()
+
+    // 3. components over the contracted graph
+    val k = cp(newKeys.unionByName(storedCompKeys))
+    val edges = cp(Dedup.starEdges(k))
+    val sub = cp(Dedup.connectedComponents(k.select(col("id")).distinct(), edges,
+      reliable = reliable))
+
+    // stored component labels that shrank → their canonical doc is demoted
+    val storedCompIds = storedCompKeys.select(col("id")).distinct()
+    val remap = cp(sub.join(storedCompIds, Seq("id"))
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("old_comp"), col("comp").as("new_comp")))
+
+    // labels vNext = stored labels re-pointed through the remap ∪ new-doc labels
+    val newDocLabels = sub.join(newKeys.select(col("id")).distinct(), Seq("id"))
+    val labelsNext = cp(storedLabels
+      .join(remap, storedLabels("comp") === remap("old_comp"), "left")
+      .select(storedLabels("id"),
+        coalesce(col("new_comp"), storedLabels("comp")).as("comp"))
+      .unionByName(newDocLabels.select(col("id"), col("comp"))))
+
+    // 4. kept-set delta
+    val keptNew = newBatch
+      .join(newDocLabels.select(col("id").as("__cid"), col("comp").as("__comp")),
+        col(idCol) === col("__cid"), "left")
+      .filter(col("__comp").isNull || col("__comp") === col(idCol))
+      .drop("__cid", "__comp")
+      .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
+      .withColumn("warc_day", to_date(col("warc_ts")))
+    val demotedIds = remap.select(col("old_comp").as("__demoted"))
+
+    val keptTable = readKept(spark, outDir)
+    val affected: Seq[Int] = (
+      keptNew.select(col("part_bucket")).distinct().collect().map(_.getInt(0)) ++
+      keptTable.join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
+        .select(col("part_bucket")).distinct().collect().map(_.getInt(0))
+    ).distinct.sorted
+
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
+    if (affected.nonEmpty) {
+      val affectedVals = affected.map(Integer.valueOf)
+      val before = keptTable
+        .filter(col("part_bucket").isin(affectedVals: _*))
+        .select(col("part_bucket"), col("warc_day")).distinct().collect()
+        .map(r => (r.getInt(0), r.getDate(1).toString)).toSet
+      // checkpoint breaks the read-path/write-path cycle: the rewrite reads
+      // the very partitions it overwrites
+      val rewritten = cp(keptTable
+        .filter(col("part_bucket").isin(affectedVals: _*))
+        .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_anti")
+        .unionByName(keptNew.filter(col("part_bucket").isin(affectedVals: _*)))
+        // id is the row identity: a replay whose kept rewrite already landed
+        // (crash between rewrite and index commit) re-adds the same
+        // deterministic rows — dedup keeps the increment idempotent
+        .dropDuplicates(idCol)
+        .repartition(affected.length, col("part_bucket")))
+      rewritten.write.mode(SaveMode.Overwrite)
+        .partitionBy("part_bucket", "warc_day")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .option("parquet.block.size", (16 * 1024 * 1024).toString)
+        .parquet(s"$outDir/data")
+      // dynamic overwrite can't express "this (bucket, day) is now EMPTY" —
+      // a partition whose every row was demoted keeps its stale files.
+      // Deterministic driver-side delete of disappeared partitions closes
+      // the gap (idempotent on replay).
+      val after = rewritten.select(col("part_bucket"), col("warc_day")).distinct()
+        .collect().map(r => (r.getInt(0), r.getDate(1).toString)).toSet
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (before -- after).foreach { case (b, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$outDir/data/part_bucket=$b/warc_day=$d"), true)
+      }
+      val ms = (System.nanoTime() - t0) / 1000000
+      val counts: Map[Int, (Long, Long)] = rewritten.groupBy(col("part_bucket"))
+        .agg(count(lit(1)).as("n"), sum(length(col(textCol)).cast("long")).as("bytes"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
+      affected.foreach { b =>
+        val (n, bytes) = counts.getOrElse(b, (0L, 0L))
+        lineage += LineageRow(runId, s"snap-$runId-inc", b, n, n, 0L, bytes, ms, "committed")
+      }
+    }
+
+    // 5. commit the index LAST: bands increment + labels vNext, manifest after
+    val inc = if (incs.isEmpty) 1L else incs.max + 1L
+    writeIndex(spark, outDir, newKeys, labelsNext, increment = inc,
+      labelsVersion = curVersion + 1)
+    if (affected.nonEmpty)
+      ExtractPipeline.appendManifest(outDir, runId, s"snap-$runId-inc", affected, lineage.toSeq)
+    lineage.toSeq
   }
 
   /** The flagship composition over raw pages, staged exactly as a 100 TB

@@ -133,6 +133,124 @@ class CuratedPipelineSpec extends AnyFunSuite {
       "no two kept docs may declare the same canonical target")
   }
 
+  // ---- incremental curation: increment ≡ full recompute -------------------
+
+  private def keptState(out: String) = {
+    import spark.implicits._
+    CuratedPipeline.readKept(spark, out)
+      .select($"id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+  }
+  private def labelState(out: String) = {
+    import spark.implicits._
+    CuratedPipeline.readLabels(spark, out)
+      .as[(Long, Long)].collect().sorted.toSeq
+  }
+
+  test("curateIncrement(b2) after run(b1) equals run(b1 ∪ b2): appends, drops, demotion, empty-partition cleanup") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "sphinx of black quartz judge my vow quickly now"
+    val textD = "how vexingly quick daft zebras jump around here"
+    val textE = "bright vixens jump while dozy fowl quack loudly"
+    val b1 = Seq(
+      CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), textA, "a"),
+      CurDoc(11L, "u11", ts("2024-03-01 11:00:00"), textA, "a"), // dup of 10
+      CurDoc(20L, "u20", ts("2024-03-02 09:00:00"), textB, "a"),
+      CurDoc(30L, "u30", ts("2024-03-01 10:00:00"), textC, "a"),
+      // unique warc_day: its (bucket, day) partition must VANISH on demotion
+      CurDoc(40L, "u40", ts("2024-07-19 10:00:00"), textD, "a"),
+      CurDoc(41L, "u41", ts("2024-03-02 10:00:00"), "hi", "a")).toDF()
+    val b2 = Seq(
+      CurDoc(5L, "u05", ts("2024-03-05 10:00:00"), textD, "b"),  // smaller id → demotes 40
+      CurDoc(50L, "u50", ts("2024-03-05 11:00:00"), textB, "b"), // larger-id dup → dropped
+      CurDoc(60L, "u60", ts("2024-03-05 12:00:00"), textE, "b"), // new unique → kept
+      CurDoc(61L, "u61", ts("2024-03-05 13:00:00"), "yo", "b")).toDF() // short → kept
+
+    val outA = tmpDir(); val outB = tmpDir()
+    CuratedPipeline.run(spark, b1, outA, numBuckets = 8, snapshotGroups = 2, runId = "b1")
+    assert(keptState(outA).map(_._1) == Seq(10L, 20L, 30L, 40L, 41L))
+    val lineage = CuratedPipeline.curateIncrement(spark, b2, outA,
+      numBuckets = 8, runId = "b2")
+    assert(lineage.nonEmpty)
+    CuratedPipeline.run(spark, b1.unionByName(b2), outB,
+      numBuckets = 8, snapshotGroups = 2, runId = "full")
+
+    assert(keptState(outA) == keptState(outB),
+      "incrementally curated kept corpus must equal the full recompute")
+    assert(keptState(outA).map(_._1) == Seq(5L, 10L, 20L, 30L, 41L, 60L, 61L))
+    assert(labelState(outA) == labelState(outB),
+      "incrementally maintained labels must equal the full recompute")
+    // the demoted doc's unique (bucket, day) partition is physically gone
+    val days = new java.io.File(s"$outA/data").listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).toSet
+    assert(!days.contains("warc_day=2024-07-19"),
+      s"demoted-empty partition must be deleted, saw $days")
+  }
+
+  test("curateIncrement merges two existing components through a bridge doc (canonical + content)") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textF = "grumpy wizards make toxic brew for the evil queen"
+    val b1 = Seq(
+      (10L, "u10", ts("2024-03-01 10:00:00"), textA, null.asInstanceOf[String]),
+      (11L, "u11", ts("2024-03-01 11:00:00"), textA, null.asInstanceOf[String]),
+      (15L, "u15", ts("2024-03-02 10:00:00"), textF, "https://e.com/c")
+    ).toDF("id", "url", "warc_ts", "text", "canonical")
+    // 70 shares CONTENT with {10,11} and CANONICAL with {15}: all four
+    // must become one component labeled 10, demoting 15
+    val b2 = Seq(
+      (70L, "u70", ts("2024-03-05 10:00:00"), textA, "https://e.com/c")
+    ).toDF("id", "url", "warc_ts", "text", "canonical")
+
+    val outA = tmpDir(); val outB = tmpDir()
+    CuratedPipeline.run(spark, b1, outA, numBuckets = 8, snapshotGroups = 2,
+      runId = "b1", canonicalCol = Some("canonical"))
+    assert(keptState(outA).map(_._1) == Seq(10L, 15L))
+    CuratedPipeline.curateIncrement(spark, b2, outA, numBuckets = 8,
+      runId = "b2", canonicalCol = Some("canonical"))
+    CuratedPipeline.run(spark, b1.unionByName(b2), outB, numBuckets = 8,
+      snapshotGroups = 2, runId = "full", canonicalCol = Some("canonical"))
+
+    assert(keptState(outA) == keptState(outB))
+    assert(keptState(outA).map(_._1) == Seq(10L))
+    assert(labelState(outA) == labelState(outB))
+    assert(labelState(outA).forall(_._2 == 10L),
+      s"bridge must merge everything into comp 10, got ${labelState(outA)}")
+  }
+
+  test("a torn increment (killed before the index commit) replays to the identical state") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textD = "how vexingly quick daft zebras jump around here"
+    val b1 = Seq(
+      CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), textA, "a"),
+      CurDoc(40L, "u40", ts("2024-03-02 10:00:00"), textD, "a")).toDF()
+    val b2 = Seq(
+      CurDoc(5L, "u05", ts("2024-03-05 10:00:00"), textD, "b"),
+      CurDoc(60L, "u60", ts("2024-03-05 12:00:00"),
+        "bright vixens jump while dozy fowl quack loudly", "b")).toDF()
+
+    val outA = tmpDir(); val outB = tmpDir()
+    CuratedPipeline.run(spark, b1, outA, numBuckets = 4, snapshotGroups = 1, runId = "b1")
+    CuratedPipeline.curateIncrement(spark, b2, outA, numBuckets = 4, runId = "b2")
+
+    // simulate the crash: the kept rewrite and index parquet landed, but the
+    // index manifest line (the commit point) did not → roll the manifest back
+    val mf = Paths.get(outA, "_manifest", "index_manifest.jsonl")
+    val lines = Files.readAllLines(mf)
+    Files.write(mf, (lines.get(0) + "\n").getBytes("UTF-8"))
+    assert(CuratedPipeline.indexState(outA)._1 == 1L)
+
+    // replay the increment from the previous committed index
+    CuratedPipeline.curateIncrement(spark, b2, outA, numBuckets = 4, runId = "b2r")
+    CuratedPipeline.run(spark, b1.unionByName(b2), outB,
+      numBuckets = 4, snapshotGroups = 1, runId = "full")
+    assert(keptState(outA) == keptState(outB),
+      "replayed increment must converge to the full-recompute kept corpus")
+    assert(labelState(outA) == labelState(outB))
+  }
+
   test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
     import spark.implicits._
     val outClean = tmpDir(); val outTorn = tmpDir()
