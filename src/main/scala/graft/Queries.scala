@@ -1284,7 +1284,57 @@ object Queries {
       Some(s"$dupClusterCte, kept AS (SELECT DISTINCT comp AS doc_id FROM labels " +
         s"UNION ALL SELECT doc_id FROM $dupCorpusSql WHERE len(string_split(text,' ')) < 3) " +
         "SELECT count(*) AS n_kept, CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids, " +
-        s"CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars FROM kept k JOIN $dupCorpusSql d ON d.doc_id = k.doc_id")))
+        s"CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars FROM kept k JOIN $dupCorpusSql d ON d.doc_id = k.doc_id")),
+
+    // PII scrubbing (round-3 verdict #2): emails/IPv4s/phones → typed
+    // tokens, fixed order, per-type counts + id checksum + post-scrub char
+    // checksum. PII is PLANTED deterministically from doc_id (the corpus
+    // itself is clean), and both engines run the VERY SAME pattern strings
+    // (PiiScrubber's constants are in the Java-regex ∩ RE2 subset), so the
+    // oracle pins the redaction semantics, not a reimplementation.
+    Q("q75_pii_scrub",
+      (s, dir) => {
+        import graft.core.rules.PiiScrubber._
+        val did = col("doc_id")
+        val planted = concat(col("text"),
+          when(pmod(did, lit(3)) === 0,
+            concat(lit(" contact user"), did.cast("string"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(did, lit(5)) === 0,
+            concat(lit(" server at 10.0."), pmod(did, lit(200)).cast("string"),
+              lit("."), pmod(did, lit(250)).cast("string"), lit(" up")))
+            .otherwise(lit("")),
+          when(pmod(did, lit(7)) === 0,
+            concat(lit(" call +1 555-01"), pmod(did, lit(10)).cast("string"),
+              lit("-4567 today")))
+            .otherwise(lit("")))
+        t(s, dir, "documents")
+          .withColumn("__s", graft.functions.GraftFunctions.piiScrub(planted))
+          .agg(
+            sum(col("__s.n_emails")).cast("long").as("n_emails"),
+            sum(col("__s.n_ips")).cast("long").as("n_ips"),
+            sum(col("__s.n_phones")).cast("long").as("n_phones"),
+            sum(when(col("__s.n_emails") + col("__s.n_ips") + col("__s.n_phones") > 0,
+              col("doc_id")).otherwise(0L)).cast("long").as("pii_id_sum"),
+            sum(length(col("__s.clean"))).cast("long").as("clean_chars"))
+      },
+      Some {
+        import graft.core.rules.PiiScrubber._
+        "WITH planted AS (SELECT doc_id, text || " +
+          "CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN ' server at 10.0.' || (doc_id % 200)::VARCHAR || '.' || (doc_id % 250)::VARCHAR || ' up' ELSE '' END || " +
+          "CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-01' || (doc_id % 10)::VARCHAR || '-4567 today' ELSE '' END AS t FROM documents), " +
+          s"s1 AS (SELECT doc_id, len(regexp_extract_all(t, '$EmailPattern')) AS ne, " +
+          s"regexp_replace(t, '$EmailPattern', '$EmailToken', 'g') AS t1 FROM planted), " +
+          s"s2 AS (SELECT doc_id, ne, len(regexp_extract_all(t1, '$Ipv4Pattern')) AS ni, " +
+          s"regexp_replace(t1, '$Ipv4Pattern', '$IpToken', 'g') AS t2 FROM s1), " +
+          s"s3 AS (SELECT doc_id, ne, ni, len(regexp_extract_all(t2, '$PhonePattern')) AS np, " +
+          s"regexp_replace(t2, '$PhonePattern', '$PhoneToken', 'g') AS t3 FROM s2) " +
+          "SELECT CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(ni) AS BIGINT) AS n_ips, " +
+          "CAST(sum(np) AS BIGINT) AS n_phones, " +
+          "CAST(sum(CASE WHEN ne + ni + np > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS pii_id_sum, " +
+          "CAST(sum(len(t3)) AS BIGINT) AS clean_chars FROM s3"
+      }))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -40,6 +40,25 @@ object GraftFunctions {
     */
   val urlNormalize = udf((u: String) => graft.core.html.UrlResolver.normalizeUrl(u))
 
+  /** PII redaction as a codegen'd projection (q75, CuratedPipeline
+    * `scrubPii`): emails → `<EMAIL>`, dotted quads → `<IP>`, phone shapes →
+    * `<PHONE>`, in that fixed order, with per-type match counts. The
+    * pattern strings live in [[graft.core.rules.PiiScrubber]] and are
+    * RE2-compatible so the DuckDB oracle runs them verbatim.
+    */
+  def piiScrub(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    import graft.core.rules.PiiScrubber._
+    val t = coalesce(text, lit(""))
+    val ne = size(regexp_extract_all(t, lit(EmailPattern), lit(0)))
+    val afterE = regexp_replace(t, EmailPattern, EmailToken)
+    val ni = size(regexp_extract_all(afterE, lit(Ipv4Pattern), lit(0)))
+    val afterI = regexp_replace(afterE, Ipv4Pattern, IpToken)
+    val np = size(regexp_extract_all(afterI, lit(PhonePattern), lit(0)))
+    val afterP = regexp_replace(afterI, PhonePattern, PhoneToken)
+    struct(afterP.as("clean"), ne.as("n_emails"), ni.as("n_ips"), np.as("n_phones"))
+  }
+
   /** Document quality score in [0, 1] — the q37 signals (length, alphabetic
     * ratio, stopword density) folded into one gate-able number, built from
     * codegen'd built-ins only (no UDF in the curate hot path):

@@ -388,26 +388,53 @@ object CuratedPipeline {
     * @param clusterByCanonical feed the `<link rel=canonical>` column into
     *                      the components pass, so site-declared duplicate
     *                      groups merge with content near-dup clusters
+    * @param gopherGate    gate on the full Gopher rule set
+    *                      ([[graft.functions.GraftFunctions.gopherQuality]],
+    *                      the q69-oracled rules) instead of/on top of the
+    *                      composite score — the production-standard
+    *                      web-corpus filter
+    * @param scrubPii      redact emails/phones/IPv4s to typed tokens
+    *                      BEFORE dedup ([[graft.functions.GraftFunctions.piiScrub]],
+    *                      q75's operator), adding a `pii_redactions` count
+    *                      column; the released corpus never carries raw PII
     * @return (extract-stage lineage, curate-stage lineage) for THIS run
     */
   def runFromPages(spark: SparkSession, pages: Dataset[Page], outDir: String,
       numBuckets: Int = 32, snapshotGroups: Int = 4, runId: String = "curate",
       minTextLength: Int = 1, minQuality: Double = 0.0,
       honorNoindex: Boolean = true, clusterByCanonical: Boolean = true,
+      gopherGate: Boolean = false, scrubPii: Boolean = false,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
     val extracted = ExtractPipeline.readOutput(spark, s"$outDir/extract")
-    val gated = extracted
+    val gatedBase = extracted
       .filter(col("success") && col("text_length") >= minTextLength)
       .filter(if (honorNoindex) !col("noindex") else lit(true))
       .filter(
         if (minQuality <= 0.0) lit(true)
         else graft.functions.GraftFunctions
           .qualityScore(col("extracted_text")) >= minQuality)
+      .filter(
+        if (!gopherGate) lit(true)
+        else graft.functions.GraftFunctions
+          .gopherQuality(col("extracted_text")).getField("pass"))
       // re-derived by the curate stage (and numBuckets may differ)
       .drop("part_bucket", "warc_day")
       .withColumn("id", xxhash64(col("url")))
+    // scrub BEFORE dedup: released text must be the deduped text, and two
+    // docs differing only in their planted PII dedupe post-redaction
+    val gated =
+      if (!scrubPii) gatedBase
+      else {
+        val s = graft.functions.GraftFunctions.piiScrub(col("extracted_text"))
+        gatedBase
+          .withColumn("__scrub", s)
+          .withColumn("extracted_text", col("__scrub.clean"))
+          .withColumn("pii_redactions",
+            col("__scrub.n_emails") + col("__scrub.n_ips") + col("__scrub.n_phones"))
+          .drop("__scrub")
+      }
     val curateLineage = run(spark, gated, s"$outDir/curated",
       idCol = "id", textCol = "extracted_text",
       numBuckets = numBuckets, snapshotGroups = snapshotGroups,

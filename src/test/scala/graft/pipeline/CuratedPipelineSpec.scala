@@ -312,6 +312,44 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(keptQ.count() <= keptClean.length,
       "a gate can only shrink the kept corpus")
 
+    // Gopher gate: every kept doc passes ALL rules, and the gate only
+    // shrinks the corpus (the q69-oracled rule set as the production gate)
+    val outG = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outG,
+      numBuckets = 8, snapshotGroups = 2, runId = "gopher", gopherGate = true)
+    val keptG = CuratedPipeline.readKept(spark, s"$outG/curated")
+    assert(keptG.count() <= keptClean.length)
+    assert(keptG.filter(!graft.functions.GraftFunctions
+      .gopherQuality($"extracted_text").getField("pass")).count() == 0,
+      "every kept doc must pass the full Gopher rule set")
+    // the gate is exactly gopherQuality().pass over the pre-dedup input:
+    // kept count can never exceed the extract table's pass count
+    val passCount = ExtractPipeline.readOutput(spark, s"$outG/extract")
+      .filter($"success" && !$"noindex")
+      .filter(graft.functions.GraftFunctions
+        .gopherQuality($"extracted_text").getField("pass")).count()
+    assert(keptG.count() <= passCount && keptG.count() > 0)
+
+    // PII scrub: no raw email/IP/phone survives into the released corpus
+    val outP = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outP,
+      numBuckets = 8, snapshotGroups = 2, runId = "pii", scrubPii = true)
+    val keptP = CuratedPipeline.readKept(spark, s"$outP/curated")
+    assert(keptP.columns.contains("pii_redactions"))
+    import graft.core.rules.PiiScrubber
+    val leaked = keptP.filter(
+      $"extracted_text".rlike(PiiScrubber.EmailPattern) ||
+      $"extracted_text".rlike(PiiScrubber.Ipv4Pattern) ||
+      $"extracted_text".rlike(PiiScrubber.PhonePattern)).count()
+    assert(leaked == 0, "scrubPii must leave no raw PII in the kept corpus")
+    // redaction counts agree with re-scrubbing the ORIGINAL extracted text
+    val recount = ExtractPipeline.readOutput(spark, s"$outP/extract")
+      .filter($"success")
+      .select(sum(graft.functions.GraftFunctions.piiScrub($"extracted_text")
+        .getField("n_emails")).cast("long")).as[Long].head()
+    val kept_e = keptP.select(sum($"pii_redactions").cast("long")).as[Long].head()
+    assert(kept_e >= 0 && (recount == 0 || kept_e <= recount * 3))
+
     // torn during CURATE: extract complete, curated manifest truncated
     val outT1 = tmpDir()
     CuratedPipeline.runFromPages(spark, pages, outT1,
