@@ -1192,6 +1192,67 @@ object Queries {
         "THEN 'en' ELSE 'unk' END AS guess, count(*) AS n FROM " +
         "(SELECT lang, ' ' || text || ' ' AS pad FROM documents) GROUP BY 1, 2")),
 
+    // REAL language ID (round-3 verdict #3, superseding q36's en/unk
+    // heuristic): a character-trigram classifier TRAINED on the corpus —
+    // per-lang trigram profiles from the doc_id%5<4 split, test docs scored
+    // as sum of profile frequencies (parts-per-million, INTEGER division so
+    // both engines are bit-exact — no float log-sums to drift), argmax with
+    // a lang tie-break, confusion matrix out. The synthetic corpus carries
+    // no lingual signal, so each lang's text is enriched with its
+    // function-word markers first (the q72/q75 planted-data pattern);
+    // the classifier itself is the real algorithm (langid.py's shape).
+    // Scale: profiles are a trigram-vocab-sized table → broadcast join;
+    // the corpus-side explode never shuffles before the per-doc partial agg.
+    Q("q76_langid_ngram",
+      (s, dir) => {
+        val marker = when(col("lang") === "en", lit(" the and of with good water house"))
+          .when(col("lang") === "fr", lit(" le et de avec très bonne eau maison où"))
+          .when(col("lang") === "de", lit(" der und von mit für gute wasser haus über"))
+          .when(col("lang") === "es", lit(" el y de con muy buena agua casa señor"))
+          .otherwise(lit(" 的 和 很 好 水 房子 在 是"))
+        val grams = t(s, dir, "documents")
+          .withColumn("tt", lower(concat(col("text"), marker)))
+          .filter(length(col("tt")) >= 3)
+          .select(col("doc_id"), col("lang"),
+            explode(expr("transform(sequence(1, length(tt)-2), i -> substring(tt, i, 3))")).as("tg"))
+        val train = grams.filter(pmod(col("doc_id"), lit(5)) < 4)
+        val profile = train.groupBy(col("lang").as("plang"), col("tg"))
+          .agg(count(lit(1)).as("cnt"))
+        val totals = train.groupBy(col("lang").as("plang"))
+          .agg(count(lit(1)).as("tot"))
+        val freq = profile.join(totals, "plang")
+          .select(col("plang"), col("tg"), expr("(cnt * 1000000L) div tot").as("ppm"))
+        val test = grams.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val scores = test.join(broadcast(freq), "tg")
+          .groupBy(col("doc_id"), col("lang"), col("plang"))
+          .agg(sum(col("ppm")).as("score"))
+        val guessed = scores.withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("plang"))))
+          .filter(col("rn") === 1)
+        guessed.groupBy(col("lang"), col("plang").as("guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("guess"))
+      },
+      Some(
+        "WITH enriched AS (SELECT doc_id, lang, lower(text || CASE lang " +
+          "WHEN 'en' THEN ' the and of with good water house' " +
+          "WHEN 'fr' THEN ' le et de avec très bonne eau maison où' " +
+          "WHEN 'de' THEN ' der und von mit für gute wasser haus über' " +
+          "WHEN 'es' THEN ' el y de con muy buena agua casa señor' " +
+          "ELSE ' 的 和 很 好 水 房子 在 是' END) AS tt FROM documents), " +
+          "grams AS (SELECT doc_id, lang, unnest(list_transform(generate_series(1, len(tt)-2), i -> substr(tt, i, 3))) AS tg FROM enriched WHERE len(tt) >= 3), " +
+          "train AS (SELECT * FROM grams WHERE doc_id % 5 < 4), " +
+          "profile AS (SELECT lang AS plang, tg, count(*) AS cnt FROM train GROUP BY 1, 2), " +
+          "totals AS (SELECT lang AS plang, count(*) AS tot FROM train GROUP BY 1), " +
+          "freq AS (SELECT p.plang, p.tg, (p.cnt * 1000000) // t.tot AS ppm FROM profile p JOIN totals t ON p.plang = t.plang), " +
+          "test AS (SELECT * FROM grams WHERE doc_id % 5 = 4), " +
+          "scores AS (SELECT s.doc_id, s.lang, f.plang, sum(f.ppm) AS score " +
+          "FROM test s JOIN freq f ON f.tg = s.tg GROUP BY 1, 2, 3), " +
+          "guessed AS (SELECT lang, plang AS guess FROM (SELECT lang, plang, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn FROM scores) WHERE rn = 1) " +
+          "SELECT lang, guess, count(*) AS n FROM guessed GROUP BY 1, 2 ORDER BY lang, guess")),
+
     // quality scoring: length / tokens / stopword-ratio per source
     Q("q37_quality_score",
       (s, dir) => t(s, dir, "documents")
