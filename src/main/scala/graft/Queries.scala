@@ -1300,6 +1300,47 @@ object Queries {
         "(SELECT lang, text, regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0) AS sub " +
         "FROM documents) GROUP BY lang")),
 
+    // TRUE BPE (round-3 verdict #4): the pinned learned merge table
+    // (core/text/Bpe.scala DefaultMerges — 24 merges learned from this
+    // corpus's vocabulary, "join"/"hash"/"batch"/"scan" emerge as subwords)
+    // APPLIED relationally: each word becomes `(c)(h)(a)(r)` and every
+    // merge is one literal `replace('(a)(b)' → '(ab)')` — each token owns
+    // its delimiters, so the greedy left-to-right scan is IDENTICAL in
+    // Spark, DuckDB, and the core applyMerges (BpeSpec pins the parity and
+    // the learning itself). Token count = '(' count. Whole chain is
+    // codegen'd string ops, no UDF.
+    Q("q77_bpe_merges",
+      (s, dir) => {
+        val merges = graft.core.text.Bpe.DefaultMerges
+        val encExpr = merges.foldLeft("regexp_replace(w, '(.)', '($1)')") {
+          case (e, (a, b)) => s"replace($e, '($a)($b)', '($a$b)')"
+        }
+        t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("enc", expr(encExpr))
+          .withColumn("n_bpe", length(col("enc")) - length(expr("replace(enc, '(', '')")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_bpe")).cast("long").as("total_bpe_tokens"),
+            round(avg(col("n_bpe")), 4).as("avg_tokens_per_word"),
+            sum(length(col("w"))).cast("long").as("total_chars"))
+          .orderBy(col("lang"))
+      },
+      Some {
+        val merges = graft.core.text.Bpe.DefaultMerges
+        val chain = merges.foldLeft("regexp_replace(w, '(.)', '(\\1)', 'g')") {
+          case (e, (a, b)) => s"replace($e, '($a)($b)', '($a$b)')"
+        }
+        "WITH words AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+          "ww AS (SELECT lang, w FROM words WHERE len(w) > 0), " +
+          s"enc AS (SELECT lang, w, $chain AS e FROM ww) " +
+          "SELECT lang, count(*) AS n_words, " +
+          "CAST(sum(len(e) - len(replace(e, '(', ''))) AS BIGINT) AS total_bpe_tokens, " +
+          "round(avg(len(e) - len(replace(e, '(', ''))), 4) AS avg_tokens_per_word, " +
+          "CAST(sum(len(w)) AS BIGINT) AS total_chars FROM enc GROUP BY lang ORDER BY lang"
+      }),
+
     // document fingerprinting: digest of normalized text over the dup corpus
     Q("q39_fingerprint",
       (s, dir) => dupCorpus(s, dir)
