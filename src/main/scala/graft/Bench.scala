@@ -41,6 +41,24 @@ object Bench {
       .generateAndExtract(spark, 6000, partitions = cpus.toInt * 2)
       .select("success").filter("success").count()
 
+    // IN-RECORD HOST CONTROL (round-3 verdict #1: the official r3 record
+    // carried a 4,258 docs/s probe from a throttled host window while the
+    // same binary measured 111k the same day, and the JSON gave a reader
+    // no way to tell). Two self-diagnosis signals now ship in the record:
+    //   - a single-thread pure-core work rate (no Spark, no shuffle): if
+    //     THIS is far below its usual ~3-4k docs/s, the window is bad and
+    //     the probe number is the host's fault, not the engine's;
+    //   - the RAW per-rep probe samples (3 reps, not best-of-2), so one
+    //     poisoned rep is visible instead of silently poisoning a max-of-2.
+    val refPages = (0 until 3000).map(i => graft.pipeline.PageGen.page(42L, i.toLong)).toArray
+    def singleThreadRate(): Double = {
+      val t0 = System.nanoTime()
+      refPages.foreach(p => graft.core.ExtractCore.processPage(p.html, p.text))
+      refPages.length / ((System.nanoTime() - t0) / 1e9)
+    }
+    singleThreadRate() // JIT settle on top of the Spark warmup above
+    val refRate = singleThreadRate()
+
     // throughput measured warm but BEFORE the query suite: the queries pin
     // session caches (extracted corpus, committed tables, dedup labels)
     // whose heap pressure would tax a measurement taken after them.
@@ -50,9 +68,9 @@ object Bench {
     // steady-state throughput (BENCH.md methodology; same sizing rule as
     // ScalingBench)
     val nDocs = if (sfDir.contains("0.1")) 300000L else 30000L
-    val docsPerSec = math.max(
-      extractionThroughput(spark, nDocs, cpus.toInt * 2),
+    val probeSamples = (0 until 3).map(_ =>
       extractionThroughput(spark, nDocs, cpus.toInt * 2))
+    val docsPerSec = probeSamples.max
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -67,7 +85,8 @@ object Bench {
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_docs":$nDocs,"cpus":$cpus}""")
+    val samplesJson = probeSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_probe_samples":$samplesJson,"ref_single_thread_docs_per_sec":$refRate%.1f,"extract_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

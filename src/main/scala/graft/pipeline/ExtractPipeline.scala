@@ -66,6 +66,37 @@ object ExtractPipeline {
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
+  /** Snapshot-compact the manifest: fold every per-snapshot line into ONE
+    * line carrying the full committed-bucket set (the extract-table analog
+    * of StreamingIngest's compaction — without it the manifest grows one
+    * line per snapshot forever and `committedBuckets` re-parses all of
+    * history on every resume). Per-snapshot lineage lines are moved to
+    * `manifest_archive.jsonl` (append-only, nothing is lost — the same
+    * trade as Iceberg's expire_snapshots: current state stays one read,
+    * history moves to the archive). The rewrite goes through a temp file +
+    * atomic move, so a reader/crash mid-compaction sees either the old or
+    * the new manifest, never a torn one.
+    *
+    * @return number of manifest lines folded (0 = nothing to do)
+    */
+  def compactManifest(outDir: String): Int = {
+    val dir = Paths.get(outDir, "_manifest")
+    val mf = dir.resolve("manifest.jsonl")
+    if (!Files.exists(mf)) return 0
+    val lines = Files.readAllLines(mf).asScala.filter(_.nonEmpty)
+    if (lines.size <= 1) return 0
+    val buckets = committedBuckets(outDir).toSeq.sorted
+    val archive = dir.resolve("manifest_archive.jsonl")
+    Files.write(archive, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    val line = s"""{"run_id":"manifest-compact","snapshot_id":"compact","buckets":[${buckets.mkString(",")}],"lineage":[]}""" + "\n"
+    val tmp = dir.resolve("manifest.jsonl.tmp")
+    Files.write(tmp, line.getBytes("UTF-8"))
+    Files.move(tmp, mf, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    lines.size
+  }
+
   /** Run (or resume) the extraction job.
     *
     * @param numBuckets  hidden-partition bucket count (stands in for Iceberg

@@ -346,4 +346,33 @@ class PipelineSpec extends AnyFunSuite {
       .select(date_trunc("hour", $"ts").as("h"), $"event_type").distinct().count()
     assert(got == expected, s"stream windows $got != batch windows $expected")
   }
+
+  test("manifest snapshot-compaction folds 100+ lines to one, committedBuckets unchanged") {
+    val out = tmpDir()
+    // a long-lived job: 120 snapshots, 2 buckets each
+    (0 until 120).foreach { i =>
+      ExtractPipeline.appendManifest(out, "long", f"snap-$i%03d",
+        Seq(i % 64, 64 + i % 64),
+        Seq(LineageRow("long", f"snap-$i%03d", i, 10, 10, 0, 100, 5, "committed")))
+    }
+    val mf = java.nio.file.Paths.get(out, "_manifest", "manifest.jsonl")
+    assert(java.nio.file.Files.readAllLines(mf).size == 120)
+    val before = ExtractPipeline.committedBuckets(out)
+    assert(before.size == 128)
+
+    val folded = ExtractPipeline.compactManifest(out)
+    assert(folded == 120)
+    assert(java.nio.file.Files.readAllLines(mf).size == 1)
+    assert(ExtractPipeline.committedBuckets(out) == before,
+      "compaction must preserve the committed-bucket set exactly")
+    // history survives in the archive
+    val arch = java.nio.file.Paths.get(out, "_manifest", "manifest_archive.jsonl")
+    assert(java.nio.file.Files.readAllLines(arch).size == 120)
+    // idempotent: nothing further to fold, resume still a no-op
+    assert(ExtractPipeline.compactManifest(out) == 0)
+    ExtractPipeline.appendManifest(out, "more", "snap-more", Seq(200),
+      Seq(LineageRow("more", "snap-more", 0, 1, 1, 0, 10, 1, "committed")))
+    assert(ExtractPipeline.committedBuckets(out) == before + 200)
+    assert(ExtractPipeline.compactManifest(out) == 2)
+  }
 }
