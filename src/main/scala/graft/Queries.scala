@@ -542,7 +542,11 @@ object Queries {
       graft.pipeline.CuratedPipeline.run(s, corpus, out,
         idCol = "doc_id", textCol = "text",
         numBuckets = 16, snapshotGroups = 4, runId = "q62",
-        precomputedLabels = Some(dupClusterLabels(s, dir)))
+        precomputedLabels = Some(dupClusterLabels(s, dir)),
+        // q62 pins the one-shot table; skipping the index write keeps this
+        // build from re-deriving band keys the label cache already paid for
+        // (q74 exercises the persisted-index path)
+        persistIndex = false)
       out
     })
 

@@ -102,6 +102,29 @@ object StreamingIngest {
       .withColumn("warc_day", to_date(col("warc_ts")))
   }
 
+  /** The full continuous pipeline: each micro-batch extract-commits
+    * exactly once into the streaming extract table, THEN folds into the
+    * curated kept corpus — the first batch builds the corpus + band-key
+    * index, every later batch curates incrementally against the stored
+    * index ([[CuratedPipeline.curateBatch]]). This is the deployment
+    * shape the north star implies: a crawl feed runs continuously and
+    * curation cost per batch is O(batch + collisions), never O(corpus).
+    * Both stages are idempotent under stream replay, so exactly-once
+    * holds end to end from WARC segment to kept corpus.
+    */
+  def startCurated(pages: Dataset[Page], extractDir: String, curatedDir: String,
+      checkpointDir: String, numBuckets: Int = 32):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Page], batchId: Long) =>
+        commitBatch(extractDir, numBuckets)(batch, batchId)
+        CuratedPipeline.curateBatch(batch.sparkSession, batchId,
+          extractDir, curatedDir, numBuckets)
+        ()
+      }
+      .start()
+
   /** Read the streaming-committed table (only manifest-committed batches —
     * a torn batch's files exist but aren't query-consistent yet).
     */

@@ -130,6 +130,48 @@ class StreamingIngestSpec extends AnyFunSuite {
       && afterVacuum.select("url").distinct().count() == 320)
   }
 
+  test("continuous curation: streamed batches incrementally curate to the full-recompute corpus") {
+    import spark.implicits._
+    val src = tmp(); val ex = tmp(); val cur = tmp(); val ckpt = tmp()
+    val all = ExtractStage.generatePages(spark, 400, partitions = 4)
+    def slice(from: Int, until: Int) =
+      all.filter(col("url").isin(
+        (from until until).map(i => PageGen.url(PageGen.DefaultSeed, i.toLong)): _*)).as[Page]
+
+    slice(0, 200).write.parquet(s"$src/f0")
+    val pageSchema = implicitly[org.apache.spark.sql.Encoder[Page]].schema
+    val stream = spark.readStream.schema(pageSchema)
+      .option("recursiveFileLookup", "true").parquet(src).as[Page]
+    val q = StreamingIngest.startCurated(stream, ex, cur, ckpt, numBuckets = 8)
+    q.processAllAvailable()
+    // first batch builds the corpus AND commits the band-key index (v1)
+    assert(CuratedPipeline.indexState(cur)._1 == 1L)
+    val keptAfterB0 = CuratedPipeline.readKept(spark, cur).count()
+    assert(keptAfterB0 > 0)
+
+    slice(200, 400).write.parquet(s"$src/f1")
+    q.processAllAvailable()
+    q.stop()
+    // second batch curated INCREMENTALLY: labels version bumped, not rebuilt
+    assert(CuratedPipeline.indexState(cur)._1 == 2L)
+
+    // the continuously-built corpus must equal the one-shot batch pipeline
+    // over the union — kept rows AND cluster labels
+    val ref = tmp()
+    CuratedPipeline.runFromPages(spark, all.as[Page], ref,
+      numBuckets = 8, snapshotGroups = 2, runId = "ref")
+    def keptSet(dir: String) = CuratedPipeline.readKept(spark, dir)
+      .select($"url", $"extracted_text").as[(String, String)].collect().sortBy(_._1).toSeq
+    assert(keptSet(cur) == keptSet(s"$ref/curated"),
+      "streamed incremental curation must equal the full batch recompute")
+    def labelSet(dir: String) = CuratedPipeline.readLabels(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(labelSet(cur) == labelSet(s"$ref/curated"))
+
+    // replaying an already-curated batch is a no-op (exactly-once end to end)
+    assert(CuratedPipeline.curateBatch(spark, 0L, ex, cur, numBuckets = 8).isEmpty)
+  }
+
   test("freshly-initialized table reads as EMPTY, not AnalysisException") {
     val out = tmp() // no batch ever written: no data/ dir, no manifest
     val committed = StreamingIngest.readCommitted(spark, out)
