@@ -22,7 +22,15 @@ object PlanCheckMain {
       "q05_join_multi" -> ("BroadcastHashJoin used", _.contains("BroadcastHashJoin")),
       "q12_semi_join" -> ("semi join", p => p.contains("LeftSemi")),
       "q06_antijoin_union" -> ("anti join", p => p.contains("LeftAnti")),
-      "q01_scan_agg" -> ("partial aggregation", p => p.contains("partial")))
+      "q01_scan_agg" -> ("partial aggregation", p => p.contains("partial")),
+      // round 4: trigram profiles are a vocab-sized table — must broadcast,
+      // never shuffle the exploded corpus side into a sort-merge join
+      "q76_langid_ngram" -> ("profile join broadcast", _.contains("BroadcastHashJoin")),
+      // round 4: the PII scrub is one codegen'd projection over the scan —
+      // a join anywhere in its plan would mean the operator stopped being
+      // a pure per-row rewrite
+      "q75_pii_scrub" -> ("scrub is join-free projection",
+        p => !p.split("== Initial Plan ==").head.contains("Join")))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)
