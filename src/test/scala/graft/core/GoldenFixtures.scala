@@ -95,7 +95,13 @@ object GoldenFixtures {
         s"""<body><p>$prose</p><!-- swallowed to eof <p>ghost words</p>""",
       "template_svg_inert" ->
         (s"""<body><p>$prose</p><template><p>inert template ghost</p></template>""" +
-          s"""<svg><text>axis ghost</text><title>chart ghost</title></svg><p>$prose again</p></body>""")
+          s"""<svg><text>axis ghost</text><title>chart ghost</title></svg><p>$prose again</p></body>"""),
+      // planted PII (round 4): extraction must PRESERVE it byte-identically
+      // (scrubbing is a curation-stage decision, not an extraction default);
+      // PiiSpec then pins that scrub redacts exactly these three spans
+      "pii_in_body" ->
+        (s"""<body><p>$prose contact sales.team+eu@acme-corp.example or call +1 555-010-4242 now</p>""" +
+          s"""<p>server logs at 198.51.100.23 were rotated $prose</p></body>""")
     )
   }
 

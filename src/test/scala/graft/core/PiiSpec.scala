@@ -44,6 +44,22 @@ class PiiSpec extends AnyFunSuite {
     assert(r2.text == r.text && r2.total == 0)
   }
 
+  test("golden edge doc: extraction preserves planted PII; scrub redacts exactly those spans") {
+    val (_, r) = GoldenFixtures.computeEdge("pii_in_body")
+    // extraction is fidelity-first: the raw PII must survive into the
+    // extracted text byte-identically (pinned by the golden fixture gate)
+    assert(r.extractedText.contains("sales.team+eu@acme-corp.example"))
+    assert(r.extractedText.contains("+1 555-010-4242"))
+    assert(r.extractedText.contains("198.51.100.23"))
+    // the scrub then redacts EXACTLY the three planted spans and nothing else
+    val s = graft.core.rules.PiiScrubber.scrub(r.extractedText)
+    assert((s.nEmails, s.nIps, s.nPhones) == ((1, 1, 1)))
+    assert(s.text == r.extractedText
+      .replace("sales.team+eu@acme-corp.example", "<EMAIL>")
+      .replace("+1 555-010-4242", "<PHONE>")
+      .replace("198.51.100.23", "<IP>"))
+  }
+
   test("null and clean text pass through") {
     assert(PiiScrubber.scrub(null).text == null)
     val clean = "the quick brown fox jumps over the lazy dog"
