@@ -229,6 +229,44 @@ object CuratedPipeline {
     spark.read.parquet(indexLabelsDir(outDir, v))
   }
 
+  /** Maintenance for the dedup index (the analog of
+    * [[StreamingIngest.vacuum]] + [[ExtractPipeline.compactManifest]]):
+    * a continuous pipeline accrues one `increment=<k>` band directory per
+    * batch and one labels version per increment. This folds every band
+    * increment into the newest one (distinct keys, ≈1 file) and deletes
+    * label versions older than current. Crash-safe without a commit
+    * protocol of its own: duplicate (id, band) rows from a half-finished
+    * fold are INERT — every index consumer (`starEdges` hubs, the
+    * increment's probe) already distincts — so a replay simply converges.
+    * Single maintenance writer assumed, like every compaction here.
+    */
+  def compactIndex(spark: SparkSession, outDir: String): Unit = {
+    val (v, incs) = indexState(outDir)
+    require(v >= 1, s"no curated index at $outDir")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (incs.size > 1) {
+      val target = incs.max
+      // checkpoint breaks the self-overwrite cycle (read bands, write bands)
+      val folded = spark.read.parquet(indexBandsDir(outDir))
+        .select(col("id"), col("band")).distinct()
+        .withColumn("increment", lit(target))
+        .repartition(1)
+        .localCheckpoint(true)
+      folded.write.mode(SaveMode.Overwrite)
+        .partitionBy("increment")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(indexBandsDir(outDir))
+      incs.filter(_ != target).foreach { k =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${indexBandsDir(outDir)}/increment=$k"), true)
+      }
+    }
+    (1L until v).foreach { old =>
+      fs.delete(new org.apache.hadoop.fs.Path(indexLabelsDir(outDir, old)), true)
+    }
+  }
+
   /** Curate a NEW batch against an existing curated corpus by probing the
     * stored band-key index (see the design note above). The result state —
     * kept corpus, labels table, band index — is EXACTLY what a full

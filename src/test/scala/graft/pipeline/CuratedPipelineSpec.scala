@@ -251,6 +251,43 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(labelState(outA) == labelState(outB))
   }
 
+  test("compactIndex folds band increments and drops stale label versions; increments keep working") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "sphinx of black quartz judge my vow quickly now"
+    val textD = "how vexingly quick daft zebras jump around here"
+    val textE = "bright vixens jump while dozy fowl quack loudly"
+    val b1 = Seq(CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), textA, "a"),
+      CurDoc(20L, "u20", ts("2024-03-01 11:00:00"), textB, "a")).toDF()
+    val b2 = Seq(CurDoc(30L, "u30", ts("2024-03-02 10:00:00"), textC, "b"),
+      CurDoc(31L, "u31", ts("2024-03-02 11:00:00"), textA, "b")).toDF() // dup of 10
+    val b3 = Seq(CurDoc(40L, "u40", ts("2024-03-03 10:00:00"), textD, "c")).toDF()
+    val b4 = Seq(CurDoc(5L, "u05", ts("2024-03-04 10:00:00"), textE, "d"),
+      CurDoc(6L, "u06", ts("2024-03-04 11:00:00"), textB, "d")).toDF() // demotes 20
+
+    val outA = tmpDir(); val outB = tmpDir()
+    CuratedPipeline.run(spark, b1, outA, numBuckets = 4, snapshotGroups = 1, runId = "b1")
+    CuratedPipeline.curateIncrement(spark, b2, outA, numBuckets = 4, runId = "b2")
+    CuratedPipeline.curateIncrement(spark, b3, outA, numBuckets = 4, runId = "b3")
+    assert(CuratedPipeline.indexState(outA) == ((3L, Set(0L, 1L, 2L))))
+    assert(new java.io.File(s"$outA/index/labels").listFiles().length == 3)
+
+    CuratedPipeline.compactIndex(spark, outA)
+    val bandDirs = new java.io.File(s"$outA/index/bands").listFiles()
+      .filter(_.getName.startsWith("increment=")).map(_.getName)
+    assert(bandDirs.toSeq == Seq("increment=2"), s"got ${bandDirs.mkString(",")}")
+    assert(new java.io.File(s"$outA/index/labels").listFiles().map(_.getName).toSeq == Seq("v3"))
+
+    // the compacted index still drives a correct increment (incl. demotion)
+    CuratedPipeline.curateIncrement(spark, b4, outA, numBuckets = 4, runId = "b4")
+    CuratedPipeline.run(spark, b1.unionByName(b2).unionByName(b3).unionByName(b4),
+      outB, numBuckets = 4, snapshotGroups = 1, runId = "full")
+    assert(keptState(outA) == keptState(outB))
+    assert(labelState(outA) == labelState(outB))
+    assert(keptState(outA).map(_._1) == Seq(5L, 6L, 10L, 30L, 40L))
+  }
+
   test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
     import spark.implicits._
     val outClean = tmpDir(); val outTorn = tmpDir()
