@@ -578,6 +578,66 @@ object Queries {
       out
     })
 
+  /** Gopher-GATED curated corpus (q78): the production-standard
+    * composition `gopher gate → cluster → keep` materialized through the
+    * committed pipeline and value-oracled end to end. The raw synthetic
+    * vocabulary carries only one of Gopher's eight stopwords, so every
+    * doc fails `stopword_ok` (q69 measures exactly that); even-id docs
+    * get a deterministic ` and the end` suffix first (the planted-data
+    * pattern), making the gate discriminative. Copies (`doc_id+1e6`)
+    * preserve parity, so each dup pair gates identically and clusters
+    * stay coherent.
+    */
+  private val gopherCuratedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def gopherCuratedOut(s: SparkSession, dir: String): String =
+    gopherCuratedCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-gopher-curated").toString
+      val gated = dupCorpus(s, dir)
+        .withColumn("text", concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" and the end")).otherwise(lit(""))))
+        .filter(graft.functions.GraftFunctions.gopherQuality(col("text")).getField("pass"))
+        .withColumn("url", concat(lit("doc://"), col("doc_id")))
+        .withColumn("warc_ts", lit("2024-03-15 12:00:00").cast("timestamp"))
+      graft.pipeline.CuratedPipeline.run(s, gated, out,
+        idCol = "doc_id", textCol = "text",
+        numBuckets = 16, snapshotGroups = 2, runId = "q78", persistIndex = false)
+      out
+    })
+
+  /** Per-doc Gopher pass flag in DuckDB — q69's rule formulas factored so
+    * q78 can gate an arbitrary `(doc_id, text, n_chars)` source subquery
+    * with the exact same semantics q69 oracles.
+    */
+  private def gopherGatedSql(src: String): String =
+    "(SELECT doc_id, text, n_chars FROM (SELECT doc_id, text, n_chars, " +
+      "CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND twl/wc >= 3.0 AND twl/wc <= 10.0 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND (hashes + ellipses)/wc <= 0.1 THEN 1 ELSE 0 END * " +
+      "CASE WHEN nl > 0 AND bl/nl <= 0.9 THEN 1 ELSE 0 END * " +
+      "CASE WHEN nl > 0 AND el/nl <= 0.3 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND aw/wc >= 0.8 THEN 1 ELSE 0 END * " +
+      "CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS pass " +
+      "FROM (SELECT doc_id, text, n_chars, len(wrd)::DOUBLE AS wc, " +
+      "list_sum(list_transform(wrd, x -> len(x)))::DOUBLE AS twl, " +
+      "(len(text) - len(replace(text,'#','')))::DOUBLE AS hashes, " +
+      "((len(text) - len(replace(text,'...','')))/3)::DOUBLE AS ellipses, " +
+      "len(lns)::DOUBLE AS nl, " +
+      "len(list_filter(lns, l -> starts_with(l,'•') OR starts_with(l,'- ') OR starts_with(l,'* ')))::DOUBLE AS bl, " +
+      "len(list_filter(lns, l -> ends_with(l,'...')))::DOUBLE AS el, " +
+      "len(list_filter(wrd, x -> regexp_matches(x,'[A-Za-z]')))::DOUBLE AS aw, " +
+      "(CASE WHEN position(' the ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' be ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' to ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' of ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' and ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' that ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' have ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' with ' IN lw) > 0 THEN 1 ELSE 0 END) AS stops " +
+      s"FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS wrd, " +
+      s"string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM $src))) " +
+      "WHERE pass = 1)"
+
   /** The q44/q46 oracle prefix: full transitive closure over the clique
     * edges via a recursive CTE (reachability is identical over clique and
     * star edges, so the oracle pins the Spark star-edge shortcut too).
@@ -1391,6 +1451,41 @@ object Queries {
         s"UNION ALL SELECT doc_id FROM $dupCorpusSql WHERE len(string_split(text,' ')) < 3) " +
         "SELECT count(*) AS n_kept, CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids, " +
         s"CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars FROM kept k JOIN $dupCorpusSql d ON d.doc_id = k.doc_id")),
+
+    // the PRODUCTION gate composition, value-oracled: gopher gate (all 7
+    // rules) → near-dup clustering → min-id keep → committed kept table.
+    // The oracle re-derives the gate (q69's formulas via gopherGatedSql),
+    // re-clusters the GATED subset with the recursive CTE, and pins WHICH
+    // rows the pipeline kept — gating before clustering is semantically
+    // visible (a cluster whose min-id doc failed the gate promotes a new
+    // canonical), and this query proves both engines agree on it.
+    Q("q78_gopher_curated",
+      (s, dir) => {
+        val kept = s.read.parquet(gopherCuratedOut(s, dir) + "/data")
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_kept_ids"),
+          sum(col("n_chars").cast("long")).as("sum_kept_chars"))
+      },
+      Some(
+        "WITH RECURSIVE suffixed AS (SELECT doc_id, " +
+          "text || CASE WHEN doc_id % 2 = 0 THEN ' and the end' ELSE '' END AS text, n_chars " +
+          s"FROM $dupCorpusSql), " +
+          s"gated AS (SELECT * FROM ${gopherGatedSql("suffixed")}), " +
+          "docs AS (SELECT doc_id, " +
+          "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
+          "(SELECT doc_id, string_split(text,' ') AS wrd FROM gated) WHERE len(wrd) >= 3), " +
+          "banded AS (SELECT doc_id, md5(" +
+          "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#0'), 1, 8))::BIGINT))::VARCHAR || '_' || " +
+          "list_min(list_transform(w, x -> ('0x' || substr(md5(x || '#1'), 1, 8))::BIGINT))::VARCHAR) AS band FROM docs), " +
+          "edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst FROM banded a JOIN banded b " +
+          "ON a.band = b.band AND a.doc_id <> b.doc_id), " +
+          "reach AS (SELECT doc_id AS id, doc_id AS comp FROM banded " +
+          "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id), " +
+          "labels AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id), " +
+          "kept AS (SELECT DISTINCT comp AS doc_id FROM labels " +
+          "UNION ALL SELECT doc_id FROM gated WHERE len(string_split(text,' ')) < 3) " +
+          "SELECT count(*) AS n_kept, CAST(sum(k.doc_id) AS BIGINT) AS sum_kept_ids, " +
+          "CAST(sum(d.n_chars) AS BIGINT) AS sum_kept_chars FROM kept k JOIN gated d ON d.doc_id = k.doc_id")),
 
     // PII scrubbing (round-3 verdict #2): emails/IPv4s/phones → typed
     // tokens, fixed order, per-type counts + id checksum + post-scrub char
