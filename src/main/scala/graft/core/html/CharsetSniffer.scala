@@ -60,13 +60,17 @@ object CharsetSniffer {
     // commented-out `<!-- <meta charset=...> -->` must not override the
     // page's real encoding. Blank the spans (an unterminated comment runs
     // to the end of the window, as in the spec's bogus-comment handling).
+    // The terminator scan starts at ci+2 so the spec's ABRUPT closes
+    // `<!-->` and `<!--->` work: their `--` overlaps the opener, and
+    // missing that would blank the rest of the window including any real
+    // declaration after the comment.
     val s = {
       var ci = raw.indexOf("<!--")
       if (ci < 0) raw
       else {
         val sb = new StringBuilder(raw)
         while (ci >= 0) {
-          val ce = raw.indexOf("-->", ci + 4)
+          val ce = raw.indexOf("-->", ci + 2)
           val end = if (ce < 0) raw.length else ce + 3
           var k = ci
           while (k < end) { sb.setCharAt(k, ' '); k += 1 }

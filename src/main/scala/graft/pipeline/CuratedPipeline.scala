@@ -76,8 +76,6 @@ object CuratedPipeline {
       Dedup.connectedComponents(keyed.get.select(col("id")).distinct(), edges,
         reliable = reliable)
     }
-    if (persistIndex)
-      writeIndex(spark, outDir, keyed.get, labelsRaw, increment = 0L, labelsVersion = 1L)
     val labels = labelsRaw
       .select(col("id").as("__cid"), col("comp").as("__comp"))
 
@@ -144,6 +142,15 @@ object CuratedPipeline {
       ExtractPipeline.appendManifest(outDir, runId, snapshotId, buckets, lineage)
       allLineage ++= lineage
     }
+    // index commits LAST — after every kept bucket. The ordering matters
+    // for the continuous path: curateBatch dispatches on indexState, so a
+    // run killed mid-corpus must replay as run() (resume), never as an
+    // increment against an index that already contains this corpus's ids.
+    // A kill between the final bucket commit and this write is the one
+    // torn state left, and the resume carve-out above recomputes labels
+    // (deterministic) and lands here again.
+    if (persistIndex)
+      writeIndex(spark, outDir, keyed.get, labelsRaw, increment = 0L, labelsVersion = 1L)
     allLineage.toSeq
   }
 
@@ -435,6 +442,9 @@ object CuratedPipeline {
       .filter(if (honorNoindex) !col("noindex") else lit(true))
       .drop("ingest_batch", "part_bucket", "warc_day")
       .withColumn("id", xxhash64(col("url")))
+      // within-batch identity: a crawler can emit the same url twice in
+      // one segment; one row per id before curation (first fetch wins)
+      .dropDuplicates("id")
     val canonical = if (clusterByCanonical) Some("canonical_url") else None
 
     val lineage =
@@ -442,11 +452,21 @@ object CuratedPipeline {
         run(spark, gated, curatedDir, idCol = "id", textCol = "extracted_text",
           numBuckets = numBuckets, snapshotGroups = 1,
           runId = s"batch-$batchId", canonicalCol = canonical)
-      else
-        curateIncrement(spark, gated, curatedDir,
+      else {
+        // cross-batch identity, FIRST-WINS: a re-crawled url must not
+        // re-enter curation — curateIncrement's contract requires ids
+        // disjoint from everything already curated, and a duplicate id
+        // would corrupt the labels table. Seen = every labeled doc
+        // (labels cover all keyed docs ever curated) ∪ every kept doc
+        // (covers the unlabeled shorts — shorts are always kept).
+        val seen = readLabels(spark, curatedDir).select(col("id"))
+          .unionByName(readKept(spark, curatedDir).select(col("id")))
+        val fresh = gated.join(seen, Seq("id"), "left_anti")
+        curateIncrement(spark, fresh, curatedDir,
           idCol = "id", textCol = "extracted_text",
           numBuckets = numBuckets, runId = s"batch-$batchId",
           canonicalCol = canonical)
+      }
 
     val dir = java.nio.file.Paths.get(curatedDir, "_manifest")
     java.nio.file.Files.createDirectories(dir)

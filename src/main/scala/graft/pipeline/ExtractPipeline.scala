@@ -75,7 +75,10 @@ object ExtractPipeline {
     * trade as Iceberg's expire_snapshots: current state stays one read,
     * history moves to the archive). The rewrite goes through a temp file +
     * atomic move, so a reader/crash mid-compaction sees either the old or
-    * the new manifest, never a torn one.
+    * the new manifest, never a torn one. Single maintenance writer
+    * assumed (like every compaction here): a snapshot APPENDED between
+    * this function's read and its move would be lost — do not run it
+    * concurrently with an active extract job on the same table.
     *
     * @return number of manifest lines folded (0 = nothing to do)
     */

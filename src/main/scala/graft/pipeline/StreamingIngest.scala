@@ -134,6 +134,10 @@ object StreamingIngest {
       return emptyTable(spark)
     spark.read.parquet(s"$outDir/data")
       .filter(col("ingest_batch").isin(committed.map(java.lang.Long.valueOf): _*))
+      // partition-dir inference narrows ingest_batch to int; pin it to
+      // long so every read path (raw, compact — where it is a DATA column
+      // and therefore long — and the empty table) exposes ONE schema
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
   }
 
   // ---- compaction ---------------------------------------------------------
@@ -180,6 +184,10 @@ object StreamingIngest {
     if (todo.isEmpty) return st.version
     val newRows = spark.read.parquet(s"$outDir/data")
       .filter(col("ingest_batch").isin(todo.map(java.lang.Long.valueOf): _*))
+      // ingest_batch becomes a DATA column in the compact layout: pin it
+      // to long before writing so compact files always agree with the
+      // normalized read schema
+      .withColumn("ingest_batch", col("ingest_batch").cast("long"))
     val prev =
       if (st.version == 0L) None
       else Some(spark.read.parquet(s"$outDir/compact/v${st.version}"))
@@ -212,10 +220,12 @@ object StreamingIngest {
     if (st.version == 0L) readCommitted(spark, outDir)
     else {
       val compactDf = spark.read.parquet(s"$outDir/compact/v${st.version}")
+        .withColumn("ingest_batch", col("ingest_batch").cast("long"))
       if (live.isEmpty) compactDf // raw dirs may already be vacuumed
       else {
         val liveDf = spark.read.parquet(s"$outDir/data")
           .filter(col("ingest_batch").isin(live.map(java.lang.Long.valueOf): _*))
+          .withColumn("ingest_batch", col("ingest_batch").cast("long"))
         compactDf.unionByName(liveDf.select(compactDf.columns.map(col): _*))
       }
     }

@@ -2,7 +2,8 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.hadoop.fs.Path
-import graft.core.warc.{SerializableHadoopConf, WarcReader}
+import org.apache.spark.util.SerializableConfiguration
+import graft.core.warc.WarcReader
 
 /** Common-Crawl-style ingestion: WARC segment files → `Dataset[Page]` (the
   * driver-contract input shape), feeding the same extract pipeline as any
@@ -33,7 +34,7 @@ object WarcSource {
     // endpoints) exactly like the built-in sources do
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val confBc = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
     val paths = spark.createDataset(files).repartition(math.max(1, files.size))

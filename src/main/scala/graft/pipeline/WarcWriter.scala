@@ -3,7 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.ISO_8859_1
-import graft.core.warc.{GzipMemberWriter, SerializableHadoopConf}
+import org.apache.spark.util.SerializableConfiguration
+import graft.core.warc.GzipMemberWriter
 
 /** WARC export: materialize a `Dataset[Page]` as Common-Crawl-layout
   * response segments (`.warc.gz`, one per partition, per-record gzip
@@ -18,7 +19,7 @@ object WarcWriter {
   def write(spark: SparkSession, pages: Dataset[Page], dir: String): Long = {
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val counts = pages.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(f"$dir/part-$pid%05d.warc.gz")

@@ -3,7 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
-import graft.core.warc.{GzipMemberWriter, SerializableHadoopConf}
+import org.apache.spark.util.SerializableConfiguration
+import graft.core.warc.GzipMemberWriter
 
 /** WET-style export: the extracted-text twin of [[WarcSource]]. Common
   * Crawl distributes extraction output as WARC `conversion` records (the
@@ -27,7 +28,7 @@ object WetExport {
     val slim = df.selectExpr("url", "cast(warc_ts AS string) AS ts", "extracted_text")
       .as[(String, String, String)]
     val confBc = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
     val counts = slim.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")

@@ -74,6 +74,14 @@ class CharsetSpec extends AnyFunSuite {
     // unterminated comment blanks to the end of the 1 KB window
     val unterminated = s"<!-- <meta charset=shift_jis> <body><p>$prose</p></body>"
     assert(CharsetSniffer.prescan(unterminated.getBytes(StandardCharsets.ISO_8859_1)).isEmpty)
+    // HTML5 abrupt closes: the terminator's `--` may OVERLAP the opener,
+    // so `<!-->`/`<!--->` end immediately and the real meta stays live
+    val abrupt = s"<!--><meta charset=windows-1252><body><p>$prose</p></body>"
+    assert(CharsetSniffer.prescan(abrupt.getBytes(StandardCharsets.ISO_8859_1))
+      .contains("windows-1252"))
+    val abrupt3 = s"<!---><meta charset=shift_jis><body><p>$prose</p></body>"
+    assert(CharsetSniffer.prescan(abrupt3.getBytes(StandardCharsets.ISO_8859_1))
+      .contains("shift_jis"))
   }
 
   test("unknown or absent labels fall back to UTF-8 (fixture-identical policy)") {

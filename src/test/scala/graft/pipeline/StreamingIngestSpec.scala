@@ -170,6 +170,38 @@ class StreamingIngestSpec extends AnyFunSuite {
 
     // replaying an already-curated batch is a no-op (exactly-once end to end)
     assert(CuratedPipeline.curateBatch(spark, 0L, ex, cur, numBuckets = 8).isEmpty)
+
+    // normalized schema: ingest_batch reads as long whether or not empty
+    assert(StreamingIngest.readCommitted(spark, ex).schema("ingest_batch").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // RE-CRAWL: batch 2 re-fetches 30 already-CURATED urls with DIFFERENT
+    // content — first fetch wins, the corpus and labels must not change.
+    // (Urls gated out originally — e.g. noindex — were never curated, so
+    // first-wins rightly lets a clean re-crawl of those enter; the test
+    // therefore re-crawls only urls that actually made it into curation.)
+    val beforeRecrawl = keptSet(cur)
+    val labelsBefore = labelSet(cur)
+    val seenIds = CuratedPipeline.readLabels(spark, cur).select($"id")
+      .unionByName(CuratedPipeline.readKept(spark, cur).select($"id")).distinct()
+    val curatedUrls = all.withColumn("id", org.apache.spark.sql.functions.xxhash64($"url"))
+      .join(seenIds, Seq("id"), "left_semi").select($"url").as[String].collect().toSet
+    val origs = slice(0, 200).collect().filter(p => curatedUrls.contains(p.url)).take(30)
+    val donors = slice(200, 400).collect().take(30)
+    assert(origs.length == 30)
+    val changed = origs.zip(donors)
+      .map { case (orig, donor) => orig.copy(html = donor.html) }.toSeq
+    StreamingIngest.commitBatch(ex, numBuckets = 8)(
+      spark.createDataset(changed), 2L)
+    CuratedPipeline.curateBatch(spark, 2L, ex, cur, numBuckets = 8)
+    assert(keptSet(cur) == beforeRecrawl,
+      "re-crawled urls must not re-enter the corpus (first-wins identity)")
+    assert(labelSet(cur) == labelsBefore,
+      "re-crawl must not touch the labels table")
+    // and in particular no duplicate label rows per id
+    val dupLabels = CuratedPipeline.readLabels(spark, cur)
+      .groupBy("id").count().filter($"count" > 1).count()
+    assert(dupLabels == 0)
   }
 
   test("freshly-initialized table reads as EMPTY, not AnalysisException") {
