@@ -60,11 +60,13 @@ object WarcSource {
     * segments fit); the batch path (`readPages`) streams with O(record)
     * memory and remains the bulk-backfill tool.
     */
-  def readPagesStream(spark: SparkSession, dir: String, onlyHttpOk: Boolean = true): Dataset[Page] = {
+  def readPagesStream(spark: SparkSession, dir: String, onlyHttpOk: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): Dataset[Page] = {
     import spark.implicits._
-    spark.readStream.format("binaryFile")
+    val reader = spark.readStream.format("binaryFile")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-      .load(dir)
+    maxFilesPerTrigger.foreach(k => reader.option("maxFilesPerTrigger", k.toString))
+    reader.load(dir)
       .select("content").as[Array[Byte]]
       .flatMap { bytes =>
         WarcReader.records(new java.io.ByteArrayInputStream(bytes))
