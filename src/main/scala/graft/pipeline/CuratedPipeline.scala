@@ -83,10 +83,15 @@ object CuratedPipeline {
     // LEFT join because labels cover only the ≥3-word subset; the join is a
     // plain shuffle hash join on the doc id — labels are (id, comp) pairs,
     // a sliver of the corpus width, so this stays cheap at corpus scale.
+    // curate_inc is the top partition level: the base build is increment 0,
+    // every curateIncrement appends under its own increment — so a batch's
+    // kept rows land WITHOUT rewriting any existing partition, and a replay
+    // overwrites exactly its own increment (see curateIncrement's scale note)
     val kept = corpus
       .join(labels, col(idCol) === col("__cid"), "left")
       .filter(col("__comp").isNull || col("__comp") === col(idCol))
       .drop("__cid", "__comp")
+      .withColumn("curate_inc", lit(0))
       .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
       .withColumn("warc_day", to_date(col("warc_ts")))
 
@@ -128,7 +133,7 @@ object CuratedPipeline {
       }(Encoders.row(slice.schema))
 
       counted.write.mode(SaveMode.Overwrite)
-        .partitionBy("part_bucket", "warc_day")
+        .partitionBy("curate_inc", "part_bucket", "warc_day")
         // scoped dynamic overwrite: a torn group's rewrite replaces exactly
         // its buckets (same protocol as ExtractPipeline)
         .option("partitionOverwriteMode", "dynamic")
@@ -333,76 +338,102 @@ object CuratedPipeline {
         coalesce(col("new_comp"), storedLabels("comp")).as("comp"))
       .unionByName(newDocLabels.select(col("id"), col("comp"))))
 
-    // 4. kept-set delta
+    // 4. kept-set delta. SCALE SHAPE (this is the point of the whole
+    // design): the kept table is partitioned (curate_inc, part_bucket,
+    // warc_day), so a batch's new canonicals land wholesale under their
+    // OWN curate_inc=<k> prefix — zero existing partitions are read or
+    // rewritten for appends. Only partitions that actually CONTAIN a
+    // demoted canonical (rare: a new doc bridged/undercut an old cluster)
+    // are rewritten in place. Per-batch cost is therefore
+    // O(batch + demoted partitions), not O(corpus) — without this, every
+    // batch's appends touch every bucket and the "delta" silently rewrites
+    // the whole corpus (measured: increments cost ≈ a full recompute).
+    // Idempotence needs no row-level dedup: a replay overwrites exactly
+    // its own curate_inc=<k> partitions plus the same demotion rewrites.
+    val inc = if (incs.isEmpty) 1L else incs.max + 1L
     val keptNew = newBatch
       .join(newDocLabels.select(col("id").as("__cid"), col("comp").as("__comp")),
         col(idCol) === col("__cid"), "left")
       .filter(col("__comp").isNull || col("__comp") === col(idCol))
       .drop("__cid", "__comp")
+      .withColumn("curate_inc", lit(inc.toInt))
       .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
       .withColumn("warc_day", to_date(col("warc_ts")))
     val demotedIds = remap.select(col("old_comp").as("__demoted"))
 
     val keptTable = readKept(spark, outDir)
-    val affected: Seq[Int] = (
-      keptNew.select(col("part_bucket")).distinct().collect().map(_.getInt(0)) ++
-      keptTable.join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
-        .select(col("part_bucket")).distinct().collect().map(_.getInt(0))
-    ).distinct.sorted
+    // partitions holding a demoted doc: (curate_inc, part_bucket) pairs —
+    // a small driver-side list (demotions are the rare path)
+    val demotedParts: Seq[(Int, Int)] = keptTable
+      .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
+      .select(col("curate_inc"), col("part_bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+    val newBuckets: Seq[Int] = keptNew.select(col("part_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
 
     val lineage = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
-    if (affected.nonEmpty) {
-      val affectedVals = affected.map(Integer.valueOf)
-      val before = keptTable
-        .filter(col("part_bucket").isin(affectedVals: _*))
-        .select(col("part_bucket"), col("warc_day")).distinct().collect()
-        .map(r => (r.getInt(0), r.getDate(1).toString)).toSet
-      // checkpoint breaks the read-path/write-path cycle: the rewrite reads
-      // the very partitions it overwrites
-      val rewritten = cp(keptTable
-        .filter(col("part_bucket").isin(affectedVals: _*))
-        .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_anti")
-        .unionByName(keptNew.filter(col("part_bucket").isin(affectedVals: _*)))
-        // id is the row identity: a replay whose kept rewrite already landed
-        // (crash between rewrite and index commit) re-adds the same
-        // deterministic rows — dedup keeps the increment idempotent
-        .dropDuplicates(idCol)
-        .repartition(affected.length, col("part_bucket")))
+    if (newBuckets.nonEmpty || demotedParts.nonEmpty) {
+      val demotedSlice =
+        if (demotedParts.isEmpty) None
+        else {
+          val incVals = demotedParts.map(_._1).distinct.map(Integer.valueOf)
+          val bktVals = demotedParts.map(_._2).distinct.map(Integer.valueOf)
+          // (inc ∈ demotedIncs) × (bucket ∈ demotedBuckets) is a superset of
+          // the demoted partitions; the extras rewrite with identical rows
+          Some(keptTable
+            .filter(col("curate_inc").isin(incVals: _*)
+              && col("part_bucket").isin(bktVals: _*))
+            .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_anti"))
+        }
+      // partitions at risk of becoming empty = those holding a demoted row
+      val before: Set[(Int, Int, String)] =
+        if (demotedParts.isEmpty) Set.empty
+        else keptTable
+          .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
+          .select(col("curate_inc"), col("part_bucket"), col("warc_day")).distinct()
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString)).toSet
+      // checkpoint breaks the read-path/write-path cycle where the demotion
+      // rewrite reads the very partitions it overwrites
+      val rewritten = cp(demotedSlice
+        .map(_.unionByName(keptNew)).getOrElse(keptNew)
+        .repartition(math.max(1, newBuckets.length), col("part_bucket")))
       rewritten.write.mode(SaveMode.Overwrite)
-        .partitionBy("part_bucket", "warc_day")
+        .partitionBy("curate_inc", "part_bucket", "warc_day")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(s"$outDir/data")
-      // dynamic overwrite can't express "this (bucket, day) is now EMPTY" —
-      // a partition whose every row was demoted keeps its stale files.
-      // Deterministic driver-side delete of disappeared partitions closes
-      // the gap (idempotent on replay).
-      val after = rewritten.select(col("part_bucket"), col("warc_day")).distinct()
-        .collect().map(r => (r.getInt(0), r.getDate(1).toString)).toSet
+      // dynamic overwrite can't express "this partition is now EMPTY" — a
+      // partition whose every row was demoted keeps its stale files.
+      // Deterministic driver-side delete closes the gap (idempotent).
+      val after = rewritten.select(
+          col("curate_inc"), col("part_bucket"), col("warc_day")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString)).toSet
       val fs = new org.apache.hadoop.fs.Path(outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (before -- after).foreach { case (b, d) =>
+      (before -- after).foreach { case (i, b, d) =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$outDir/data/part_bucket=$b/warc_day=$d"), true)
+          s"$outDir/data/curate_inc=$i/part_bucket=$b/warc_day=$d"), true)
       }
       val ms = (System.nanoTime() - t0) / 1000000
       val counts: Map[Int, (Long, Long)] = rewritten.groupBy(col("part_bucket"))
         .agg(count(lit(1)).as("n"), sum(length(col(textCol)).cast("long")).as("bytes"))
         .collect().map(r => r.getInt(0) -> ((r.getLong(1),
           if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
-      affected.foreach { b =>
+      val touched = (newBuckets ++ demotedParts.map(_._2)).distinct.sorted
+      touched.foreach { b =>
         val (n, bytes) = counts.getOrElse(b, (0L, 0L))
         lineage += LineageRow(runId, s"snap-$runId-inc", b, n, n, 0L, bytes, ms, "committed")
       }
     }
 
     // 5. commit the index LAST: bands increment + labels vNext, manifest after
-    val inc = if (incs.isEmpty) 1L else incs.max + 1L
     writeIndex(spark, outDir, newKeys, labelsNext, increment = inc,
       labelsVersion = curVersion + 1)
-    if (affected.nonEmpty)
-      ExtractPipeline.appendManifest(outDir, runId, s"snap-$runId-inc", affected, lineage.toSeq)
+    val touchedBuckets = (newBuckets ++ demotedParts.map(_._2)).distinct.sorted
+    if (touchedBuckets.nonEmpty)
+      ExtractPipeline.appendManifest(outDir, runId, s"snap-$runId-inc",
+        touchedBuckets, lineage.toSeq)
     lineage.toSeq
   }
 

@@ -57,9 +57,13 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(lineage.forall(l => l.fail_rows == 0 && l.status == "committed"))
     // passthrough columns and layout survive
     assert(kept.columns.toSet ==
-      Set("id", "url", "warc_ts", "text", "src", "part_bucket", "warc_day"))
-    val bucketDirs = new java.io.File(s"$out/data").listFiles().filter(_.isDirectory)
-    assert(bucketDirs.forall(_.getName.startsWith("part_bucket=")))
+      Set("id", "url", "warc_ts", "text", "src", "curate_inc", "part_bucket", "warc_day"))
+    // base build lands wholesale under the increment-0 prefix; appends from
+    // later increments get their own prefix and never rewrite it
+    val incDirs = new java.io.File(s"$out/data").listFiles().filter(_.isDirectory)
+    assert(incDirs.map(_.getName).toSeq == Seq("curate_inc=0"))
+    assert(incDirs.head.listFiles().filter(_.isDirectory)
+      .forall(_.getName.startsWith("part_bucket=")))
 
     // kept corpus is dedup-closed: re-clustering it finds only singletons
     // (two canonicals can never band-collide — a collision would have made
@@ -179,10 +183,15 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(keptState(outA) == keptState(outB),
       "incrementally curated kept corpus must equal the full recompute")
     assert(keptState(outA).map(_._1) == Seq(5L, 10L, 20L, 30L, 41L, 60L, 61L))
+    // the increment's appends landed under their OWN prefix — the O(batch)
+    // property: no append ever rewrites an existing increment's partitions
+    assert(new java.io.File(s"$outA/data").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet == Set("curate_inc=0", "curate_inc=1"))
     assert(labelState(outA) == labelState(outB),
       "incrementally maintained labels must equal the full recompute")
     // the demoted doc's unique (bucket, day) partition is physically gone
     val days = new java.io.File(s"$outA/data").listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getName).toSet
     assert(!days.contains("warc_day=2024-07-19"),
       s"demoted-empty partition must be deleted, saw $days")
