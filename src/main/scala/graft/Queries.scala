@@ -638,6 +638,38 @@ object Queries {
       s"string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM $src))) " +
       "WHERE pass = 1)"
 
+  /** Per-doc Gopher PASS FLAG (0/1) in DuckDB over a `(doc_id, $extra,
+    * text)` source — q69's formulas again, but keeping every row and one
+    * extra passthrough column, for per-group gate-rate aggregation (q81).
+    */
+  private def gopherPassSql(src: String, extra: String): String =
+    s"(SELECT doc_id, $extra, " +
+      "CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND twl/wc >= 3.0 AND twl/wc <= 10.0 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND (hashes + ellipses)/wc <= 0.1 THEN 1 ELSE 0 END * " +
+      "CASE WHEN nl > 0 AND bl/nl <= 0.9 THEN 1 ELSE 0 END * " +
+      "CASE WHEN nl > 0 AND el/nl <= 0.3 THEN 1 ELSE 0 END * " +
+      "CASE WHEN wc > 0 AND aw/wc >= 0.8 THEN 1 ELSE 0 END * " +
+      "CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS pass " +
+      s"FROM (SELECT doc_id, $extra, len(wrd)::DOUBLE AS wc, " +
+      "list_sum(list_transform(wrd, x -> len(x)))::DOUBLE AS twl, " +
+      "(len(text) - len(replace(text,'#','')))::DOUBLE AS hashes, " +
+      "((len(text) - len(replace(text,'...','')))/3)::DOUBLE AS ellipses, " +
+      "len(lns)::DOUBLE AS nl, " +
+      "len(list_filter(lns, l -> starts_with(l,'•') OR starts_with(l,'- ') OR starts_with(l,'* ')))::DOUBLE AS bl, " +
+      "len(list_filter(lns, l -> ends_with(l,'...')))::DOUBLE AS el, " +
+      "len(list_filter(wrd, x -> regexp_matches(x,'[A-Za-z]')))::DOUBLE AS aw, " +
+      "(CASE WHEN position(' the ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' be ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' to ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' of ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' and ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' that ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' have ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN position(' with ' IN lw) > 0 THEN 1 ELSE 0 END) AS stops " +
+      s"FROM (SELECT doc_id, $extra, text, string_split(text, ' ') AS wrd, " +
+      s"string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM $src)))"
+
   /** The q44/q46 oracle prefix: full transitive closure over the clique
     * edges via a recursive CTE (reachability is identical over clique and
     * star edges, so the oracle pins the Spark star-edge shortcut too).
@@ -1535,7 +1567,138 @@ object Queries {
           "CAST(sum(np) AS BIGINT) AS n_phones, " +
           "CAST(sum(CASE WHEN ne + ni + np > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS pii_id_sum, " +
           "CAST(sum(len(t3)) AS BIGINT) AS clean_chars FROM s3"
-      }))
+      }),
+
+    // PARAGRAPH-level exact dedup (the CCNet first pass: hash every
+    // paragraph, keep only its FIRST occurrence corpus-wide, so mirrored
+    // boilerplate vanishes while each page keeps its unique remainder).
+    // Documents are single-line, so "paragraphs" are the deterministic
+    // non-overlapping 8-word chunks (the planted-structure pattern);
+    // run on the dup corpus, where every chunk of a copied doc loses to
+    // its original. First-occurrence is an ORDER scalar (doc_id, pidx)
+    // compared via min — a hash agg + hash join on the paragraph key,
+    // never a global sort/window; at 100 TB this is the same
+    // shuffle-on-content-key shape as exact doc dedup (q30), just at
+    // paragraph granularity.
+    Q("q79_paragraph_dedup",
+      (s, dir) => {
+        val paras = dupCorpus(s, dir)
+          .withColumn("wrd", split(col("text"), " "))
+          .withColumn("chunks", expr(
+            "transform(sequence(0, cast(ceil(size(wrd)/8.0) as int)-1), i -> concat_ws(' ', slice(wrd, i*8+1, 8)))"))
+          .selectExpr("doc_id", "posexplode(chunks) as (pidx, para)")
+          .withColumn("ord", col("doc_id") * 1000000L + col("pidx"))
+        val first = paras.groupBy(col("para")).agg(min(col("ord")).as("first_ord"))
+        paras.join(first, "para").agg(
+          count(lit(1)).as("n_paras"),
+          sum(when(col("ord") > col("first_ord"), 1).otherwise(0)).cast("long").as("n_removed"),
+          countDistinct(when(col("ord") > col("first_ord"), col("doc_id"))).as("n_docs_losing"),
+          sum(when(col("ord") === col("first_ord"), length(col("para"))).otherwise(0)).cast("long").as("kept_chars"))
+      },
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS wrd FROM " + dupCorpusSql + "), " +
+          "u AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(wrd)/8.0) AS INT)-1), " +
+          "i -> struct_pack(ord := doc_id*1000000+i, para := array_to_string(wrd[i*8+1:i*8+8], ' ')))) AS s FROM w), " +
+          "p AS (SELECT s.ord AS ord, s.para AS para, doc_id FROM u), " +
+          "f AS (SELECT para, min(ord) AS first_ord FROM p GROUP BY 1), " +
+          "j AS (SELECT p.ord, p.para, p.doc_id, f.first_ord FROM p JOIN f ON p.para = f.para) " +
+          "SELECT count(*) AS n_paras, " +
+          "CAST(sum(CASE WHEN ord > first_ord THEN 1 ELSE 0 END) AS BIGINT) AS n_removed, " +
+          "count(DISTINCT CASE WHEN ord > first_ord THEN doc_id END) AS n_docs_losing, " +
+          "CAST(sum(CASE WHEN ord = first_ord THEN len(para) ELSE 0 END) AS BIGINT) AS kept_chars FROM j")),
+
+    // LM-quality bucketing (the CCNet head/middle/tail design): train a
+    // word-bigram LM on the doc_id%5<2 split (CCNet: Wikipedia), score
+    // every doc as its mean bigram frequency (INTEGER ppm arithmetic —
+    // no float log-sums to drift between engines; monotone in the
+    // log-prob proxy), then derive the two bucket CUTOFFS from a 5%
+    // sample exactly as CCNet computes perplexity thresholds on a sample
+    // once and applies them as constants. Scale shape: the only global
+    // sort is the ntile over the bounded SAMPLE; the corpus side is a
+    // broadcast-LM join + hash agg + constant-threshold projection — no
+    // full-corpus window anywhere.
+    Q("q80_lm_quality",
+      (s, dir) => {
+        val bg = t(s, dir, "documents")
+          .withColumn("wrd", split(col("text"), " "))
+          .filter(size(col("wrd")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(wrd)-2), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2)))")).as("g"))
+        val train = bg.filter(pmod(col("doc_id"), lit(5)) < 2)
+        val tot = train.agg(count(lit(1)).as("tot"))
+        val lm = train.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .select(col("g"), expr("(cnt * 1000000L) div tot").as("ppm"))
+        val scored = bg.join(broadcast(lm), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(expr("sum(coalesce(ppm, 0L)) div count(*)").as("avg_ppm"))
+        val sample = scored.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .withColumn("b", ntile(3).over(Window.orderBy(col("avg_ppm").desc, col("doc_id"))))
+        val cuts = sample.agg(
+          min(when(col("b") === 1, col("avg_ppm"))).as("c1"),
+          min(when(col("b") === 2, col("avg_ppm"))).as("c2"))
+        scored.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            when(col("avg_ppm") >= col("c1"), 1L)
+              .when(col("avg_ppm") >= col("c2"), 2L).otherwise(3L))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_checksum"),
+            min(col("avg_ppm")).cast("long").as("min_avg_ppm"),
+            max(col("avg_ppm")).cast("long").as("max_avg_ppm"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS wrd FROM documents), " +
+          "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(wrd)-1), i -> wrd[i] || ' ' || wrd[i+1])) AS g " +
+          "FROM w WHERE len(wrd) >= 2), " +
+          "train AS (SELECT g FROM bg WHERE doc_id % 5 < 2), " +
+          "lm AS (SELECT g, (count(*) * 1000000) // (SELECT count(*) FROM train) AS ppm FROM train GROUP BY 1), " +
+          "scored AS (SELECT bg.doc_id, (sum(coalesce(lm.ppm, 0)) // count(*)) AS avg_ppm " +
+          "FROM bg LEFT JOIN lm ON bg.g = lm.g GROUP BY 1), " +
+          "sample AS (SELECT avg_ppm, doc_id, ntile(3) OVER (ORDER BY avg_ppm DESC, doc_id) AS b " +
+          "FROM scored WHERE doc_id % 20 = 0), " +
+          "cuts AS (SELECT min(CASE WHEN b = 1 THEN avg_ppm END) AS c1, " +
+          "min(CASE WHEN b = 2 THEN avg_ppm END) AS c2 FROM sample), " +
+          "bucketed AS (SELECT doc_id, avg_ppm, " +
+          "CASE WHEN avg_ppm >= (SELECT c1 FROM cuts) THEN 1 " +
+          "WHEN avg_ppm >= (SELECT c2 FROM cuts) THEN 2 ELSE 3 END AS bucket FROM scored) " +
+          "SELECT bucket, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum, " +
+          "CAST(min(avg_ppm) AS BIGINT) AS min_avg_ppm, CAST(max(avg_ppm) AS BIGINT) AS max_avg_ppm " +
+          "FROM bucketed GROUP BY bucket ORDER BY bucket")),
+
+    // Domain-level curation policy (the RefinedWeb/FineWeb per-host
+    // view): hosts planted from doc_id (q72's pattern), the Gopher gate
+    // made discriminative with the q78 suffix on hosts 0/2/3, then one
+    // hash agg per host → docs, gate passes, integer pass-pct, and the
+    // block decision (pass rate < 50%, integer-compared so both engines
+    // agree at the boundary). This is the table a crawler feeds back
+    // into its seed list; at 100 TB it is a single map-side-combined
+    // aggregation keyed by host.
+    Q("q81_domain_policy",
+      (s, dir) => {
+        val did = col("doc_id")
+        t(s, dir, "documents")
+          .withColumn("host", concat(lit("site"), pmod(did, lit(7)).cast("string"), lit(".com")))
+          .withColumn("tt", concat(col("text"),
+            when(pmod(did, lit(7)).isin(0, 2, 3), lit(" and the end")).otherwise(lit(""))))
+          .withColumn("pass",
+            when(graft.functions.GraftFunctions.gopherQuality(col("tt")).getField("pass"), 1L).otherwise(0L))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pass")).cast("long").as("n_pass"),
+            expr("(sum(pass) * 100) div count(*)").as("pass_pct"),
+            (sum(col("pass")) * 2 < count(lit(1))).as("blocked"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH src AS (SELECT doc_id, 'site' || (doc_id % 7)::VARCHAR || '.com' AS host, " +
+          "text || CASE WHEN doc_id % 7 IN (0, 2, 3) THEN ' and the end' ELSE '' END AS text FROM documents), " +
+          s"g AS (SELECT doc_id, host, pass FROM ${gopherPassSql("src", "host")}) " +
+          "SELECT host, count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass, " +
+          "CAST((sum(pass) * 100) // count(*) AS BIGINT) AS pass_pct, " +
+          "(sum(pass) * 2 < count(*)) AS blocked " +
+          "FROM g GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 
