@@ -78,7 +78,44 @@ object PagesQueries {
       out
     })
 
+  // CDX index over the q68 WARC segments, built once per (session, sfDir)
+  private val cdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdxOut(s: SparkSession, sfDir: String): String =
+    cdxCache.computeIfAbsent(s.hashCode() + "|" + sfDir, _ => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-cdx-q82").toString
+      graft.pipeline.CdxIndex.build(s, warcOut(s, sfDir) + "/part-*", idx, shards = 4)
+      idx
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CDX indexing + random access (the Common Crawl index layout): the
+    // q68 segments get sorted cdx shards + cluster.idx, then a point
+    // lookup prunes to ONE shard and a seek(offset) fetches ONE gzip
+    // member — the index stats and the fetched record's integrity in one
+    // query (rows-only; byte fidelity + shard-order pinned in CdxSpec)
+    "q82_cdx_lookup" -> ((s, dir) => {
+      val warcDir = warcOut(s, dir)
+      val idxDir = cdxOut(s, dir)
+      val u = graft.pipeline.PageGen.url(graft.pipeline.PageGen.DefaultSeed, 7L)
+      val hit = graft.pipeline.CdxIndex.lookup(s, idxDir, u)
+        .select(col("filename"), col("offset"), col("length"), col("digest")).collect()
+      val fetched = hit.headOption.flatMap { r =>
+        graft.pipeline.CdxIndex.fetch(s.sparkContext.hadoopConfiguration,
+          s"$warcDir/${r.getString(0)}", r.getLong(1), r.getLong(2))
+      }
+      val digestOk = hit.headOption.exists { r =>
+        fetched.exists(rec => graft.pipeline.CdxIndex.sha1Base32(rec.body) == r.getString(3))
+      }
+      graft.pipeline.CdxIndex.read(s, idxDir)
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("urlkey")).as("n_urlkeys"),
+          countDistinct(col("filename")).as("n_segments"))
+        .withColumn("lookup_hits", lit(hit.length.toLong))
+        .withColumn("fetched_bytes", lit(fetched.map(_.body.length.toLong).getOrElse(-1L)))
+        .withColumn("digest_ok", lit(digestOk))
+    }),
 
     // Common-Crawl interchange: pages exported as per-record-gzip WARC
     // response segments, re-ingested through the streaming WarcSource, and

@@ -1698,7 +1698,68 @@ object Queries {
           "SELECT host, count(*) AS n_docs, CAST(sum(pass) AS BIGINT) AS n_pass, " +
           "CAST((sum(pass) * 100) // count(*) AS BIGINT) AS pass_pct, " +
           "(sum(pass) * 2 < count(*)) AS blocked " +
-          "FROM g GROUP BY host ORDER BY host")))
+          "FROM g GROUP BY host ORDER BY host")),
+
+    // Robots Exclusion Protocol (RFC 9309) applied at corpus scale: four
+    // planted per-host robots.txt files (a longest-match allow carve-out,
+    // a block-everything, an empty Disallow, and a multi-group file whose
+    // other-agent group must be IGNORED) are PARSED by the core
+    // RobotsTxt engine on the Spark side, while DuckDB starts from the
+    // same rules as literals and re-derives longest-match-wins
+    // relationally — so a green row proves parsing + group selection +
+    // precedence end to end. Scale shape: robots rules are per-HOST
+    // (a tiny broadcastable table in a real crawl); the per-url decision
+    // is a projection, no shuffle.
+    Q("q83_robots_decision",
+      (s, dir) => {
+        val did = col("doc_id")
+        val host = concat(lit("site"), pmod(did, lit(4)).cast("string"), lit(".com"))
+        val pathClass = pmod(expr("doc_id div 4"), lit(6))
+        val path = when(pathClass === 0, concat(lit("/public/page"), pmod(did, lit(10)).cast("string")))
+          .when(pathClass === 1, concat(lit("/private/page"), pmod(did, lit(10)).cast("string")))
+          .when(pathClass === 2, concat(lit("/private/ok/page"), pmod(did, lit(10)).cast("string")))
+          .when(pathClass === 3, concat(lit("/tmp/file"), pmod(did, lit(10)).cast("string")))
+          .when(pathClass === 4, lit("/"))
+          .otherwise(concat(lit("/docs/page"), pmod(did, lit(10)).cast("string")))
+        val robots = when(host === "site0.com",
+          lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok/"))
+          .when(host === "site1.com", lit("User-agent: *\nDisallow: /"))
+          .when(host === "site2.com", lit("User-agent: *\nDisallow:"))
+          .otherwise(lit("User-agent: otherbot\nDisallow: /\n\nUser-agent: *\nDisallow: /tmp/\nDisallow: /docs/"))
+        t(s, dir, "documents")
+          .withColumn("host", host).withColumn("path", path)
+          .withColumn("allowed",
+            graft.functions.GraftFunctions.robotsAllowed(robots, col("path")))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(when(col("allowed"), 1).otherwise(0)).cast("long").as("n_allowed"),
+            sum(when(col("allowed"), 0L).otherwise(col("doc_id"))).cast("long").as("blocked_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH urls AS (SELECT doc_id, 'site' || (doc_id % 4)::VARCHAR || '.com' AS host, " +
+          "CASE (doc_id // 4) % 6 " +
+          "WHEN 0 THEN '/public/page' || (doc_id % 10)::VARCHAR " +
+          "WHEN 1 THEN '/private/page' || (doc_id % 10)::VARCHAR " +
+          "WHEN 2 THEN '/private/ok/page' || (doc_id % 10)::VARCHAR " +
+          "WHEN 3 THEN '/tmp/file' || (doc_id % 10)::VARCHAR " +
+          "WHEN 4 THEN '/' " +
+          "ELSE '/docs/page' || (doc_id % 10)::VARCHAR END AS path FROM documents), " +
+          "rules(host, prefix, allow) AS (VALUES " +
+          "('site0.com', '/private/', false), ('site0.com', '/private/ok/', true), " +
+          "('site1.com', '/', false), " +
+          "('site3.com', '/tmp/', false), ('site3.com', '/docs/', false)), " +
+          "matched AS (SELECT u.doc_id, u.host, r.prefix, r.allow, " +
+          "max(len(r.prefix)) OVER (PARTITION BY u.doc_id) AS max_len " +
+          "FROM urls u JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)), " +
+          "decided AS (SELECT doc_id, host, bool_or(allow) AS allowed " +
+          "FROM matched WHERE len(prefix) = max_len GROUP BY 1, 2), " +
+          "final AS (SELECT u.doc_id, u.host, coalesce(d.allowed, true) AS allowed " +
+          "FROM urls u LEFT JOIN decided d ON u.doc_id = d.doc_id) " +
+          "SELECT host, count(*) AS n_urls, " +
+          "CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed, " +
+          "CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) AS blocked_id_sum " +
+          "FROM final GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -1,0 +1,147 @@
+package graft.core.html
+
+/** One robots.txt rule: an Allow/Disallow path pattern (may contain `*`
+  * wildcards and a `$` end anchor, the RFC 9309 §2.2.3 extensions).
+  */
+final case class RobotRule(allow: Boolean, pattern: String)
+
+/** Robots Exclusion Protocol (RFC 9309) — the consent check a crawl
+  * pipeline runs before a URL ever reaches extraction (the page-level
+  * `noindex` honored by the curated pipeline is the POST-fetch signal;
+  * robots.txt is the pre-fetch one).
+  *
+  * Semantics implemented from the RFC:
+  *   - groups of `User-agent:` lines share the rules that follow; the
+  *     group matched is the LONGEST product-token match for our agent,
+  *     falling back to the `*` group (§2.2.1)
+  *   - `Allow:`/`Disallow:` values are path patterns; `*` matches any
+  *     char run, `$` anchors the end (§2.2.3)
+  *   - the decision is the MOST SPECIFIC (longest-pattern) matching rule;
+  *     on a tie between allow and disallow, allow wins (§2.2.2)
+  *   - no matching rule, no group, or an empty `Disallow:` → allowed
+  *   - lines are `#`-comment-stripped; unknown directives are ignored
+  *     (forward compatibility, §2.2.4); `Sitemap:` lines are surfaced
+  *     separately
+  */
+object RobotsTxt {
+
+  /** Rules of the group governing `agent` (lowercased product-token
+    * match; longest wins; `*` group is the fallback).
+    */
+  def parse(txt: String, agent: String = "*"): Vector[RobotRule] = {
+    val groups = parseGroups(txt)
+    if (groups.isEmpty) return Vector.empty
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val candidates = groups.filter(g => g.agents.exists(ua => ua != "*" && ua.nonEmpty && a.contains(ua)))
+    val best =
+      if (candidates.nonEmpty)
+        Some(candidates.maxBy(g => g.agents.filter(ua => ua != "*" && ua.nonEmpty && a.contains(ua)).map(_.length).max))
+      else groups.find(_.agents.contains("*"))
+    best.map(_.rules).getOrElse(Vector.empty)
+  }
+
+  /** `Sitemap:` URLs anywhere in the file (they are group-independent). */
+  def sitemaps(txt: String): Vector[String] =
+    lines(txt).collect { case ("sitemap", v) if v.nonEmpty => v }
+
+  /** RFC 9309 §2.2.2: longest matching pattern wins; allow wins ties;
+    * nothing matches → allowed.
+    */
+  def isAllowed(rules: Seq[RobotRule], path: String): Boolean = {
+    val p = if (path.isEmpty) "/" else path
+    val matching = rules.filter(r => r.pattern.nonEmpty && matches(r.pattern, p))
+    if (matching.isEmpty) true
+    else {
+      val maxLen = matching.map(_.pattern.length).max
+      matching.filter(_.pattern.length == maxLen).exists(_.allow) // tie → allow
+    }
+  }
+
+  /** Convenience: parse + decide in one call (the crawler's hot path
+    * caches `parse` per host; this exists for column-level use).
+    */
+  def allowed(txt: String, path: String, agent: String = "*"): Boolean =
+    isAllowed(parse(txt, agent), path)
+
+  /** Pattern match with `*` (any run, including empty) and terminal `$`
+    * (end anchor); patterns are implicitly prefix-anchored at the path
+    * start. Linear-scan backtracking over segment positions — no regex
+    * compilation per row.
+    */
+  def matches(pattern: String, path: String): Boolean = {
+    val (pat, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val parts = splitKeepEmpty(pat, '*')
+    // first part must match at position 0; middle parts float; last part
+    // must reach the end iff anchored
+    var pos = 0
+    var i = 0
+    while (i < parts.length) {
+      val part = parts(i)
+      if (i == 0) {
+        if (!path.startsWith(part, 0)) return false
+        pos = part.length
+      } else if (i == parts.length - 1 && anchored) {
+        // last fragment must END the path
+        return path.length - pos >= part.length && path.endsWith(part)
+      } else {
+        val at = path.indexOf(part, pos)
+        if (at < 0) return false
+        pos = at + part.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length || parts.last.isEmpty
+    else true
+  }
+
+  // ---------------------------------------------------------------- guts
+
+  private final case class Group(agents: Vector[String], rules: Vector[RobotRule])
+
+  private def lines(txt: String): Vector[(String, String)] =
+    txt.split("\r?\n").toVector.flatMap { raw =>
+      val noComment = { val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw }
+      val c = noComment.indexOf(':')
+      if (c <= 0) None
+      else {
+        val k = noComment.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = noComment.substring(c + 1).trim
+        Some((k, v))
+      }
+    }
+
+  private def parseGroups(txt: String): Vector[Group] = {
+    val out = Vector.newBuilder[Group]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[RobotRule]
+    var inRules = false // false while collecting consecutive User-agent lines
+    def flush(): Unit = if (agents.nonEmpty) { out += Group(agents, rules) }
+    lines(txt).foreach {
+      case ("user-agent", v) =>
+        if (inRules) { flush(); agents = Vector.empty; rules = Vector.empty; inRules = false }
+        agents :+= v.toLowerCase(java.util.Locale.ROOT)
+      case ("allow", v) if agents.nonEmpty =>
+        inRules = true
+        if (v.nonEmpty) rules :+= RobotRule(allow = true, v)
+      case ("disallow", v) if agents.nonEmpty =>
+        inRules = true // an empty Disallow still closes the agent list
+        if (v.nonEmpty) rules :+= RobotRule(allow = false, v)
+      case _ => // unknown directive (crawl-delay, sitemap, …): ignored here
+    }
+    flush()
+    out.result()
+  }
+
+  private def splitKeepEmpty(s: String, sep: Char): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == sep) { out += s.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toArray
+  }
+}

@@ -40,6 +40,15 @@ object GraftFunctions {
     */
   val urlNormalize = udf((u: String) => graft.core.html.UrlResolver.normalizeUrl(u))
 
+  /** Robots Exclusion Protocol decision — parse + longest-match per RFC
+    * 9309 ([[graft.core.html.RobotsTxt]]). Column shape for per-row use;
+    * the crawler hot path caches `RobotsTxt.parse` per host instead.
+    */
+  val robotsAllowed = udf((robotsTxt: String, path: String) =>
+    graft.core.html.RobotsTxt.allowed(
+      if (robotsTxt == null) "" else robotsTxt,
+      if (path == null) "/" else path))
+
   /** PII redaction as a codegen'd projection (q75, CuratedPipeline
     * `scrubPii`): emails → `<EMAIL>`, dotted quads → `<IP>`, phone shapes →
     * `<PHONE>`, in that fixed order, with per-type match counts. The

@@ -1,0 +1,267 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.core.warc.{GzipMembers, WarcReader, WarcRecord}
+
+/** One CDX line: the index entry that makes a WARC segment randomly
+  * addressable. `(filename, offset, length)` locates the record's gzip
+  * member; `urlkey` (SURT form) is the sort/search key; `digest` is the
+  * payload SHA-1 (Base32) for dedup/integrity checks without re-reading
+  * the segment.
+  */
+final case class CdxEntry(
+    urlkey: String,
+    ts: String, // 14-digit yyyyMMddHHmmss
+    url: String,
+    mime: String,
+    status: Int,
+    digest: String,
+    offset: Long,
+    length: Long,
+    filename: String)
+
+/** CDX(J) indexing over WARC segments — the Common Crawl index layout:
+  * every record gets a line `urlkey ts {json}`, lines live in sorted
+  * shards, and a tiny `cluster.idx` maps each shard to its first key so a
+  * point lookup opens ONE shard and then ONE gzip member of ONE segment.
+  *
+  * Scale shape (this is how CC serves petabytes): indexing is one
+  * streaming task per segment (O(record) memory, boundaries from
+  * [[GzipMembers]]); the entry table is range-partitioned by `urlkey` and
+  * sorted within shards, so the index itself is written with one shuffle;
+  * lookups touch `cluster.idx` (KBs, driver-side) → one shard (pruned
+  * statically, same discipline as the bucket-pruned point reads) → one
+  * `seek(offset)`. Nothing ever scans the corpus.
+  */
+object CdxIndex {
+
+  // ---------------------------------------------------------------- SURT
+
+  /** Sort-friendly URI Reordering Transform, pywb-canonicalized: lowercase,
+    * scheme dropped, leading `www.` dropped, host reversed and
+    * comma-joined, default ports dropped, query params sorted, fragment
+    * dropped. `http://WWW.Example.COM:80/A/b?z=1&a=2#f` →
+    * `com,example)/a/b?a=2&z=1`.
+    */
+  def surtKey(url: String): String = {
+    val noFrag = { val h = url.indexOf('#'); if (h >= 0) url.substring(0, h) else url }
+    val lower = noFrag.toLowerCase(java.util.Locale.ROOT)
+    val afterScheme = {
+      val i = lower.indexOf("://")
+      if (i >= 0) lower.substring(i + 3) else lower
+    }
+    val slash = afterScheme.indexOf('/')
+    val (auth, rest) =
+      if (slash >= 0) (afterScheme.substring(0, slash), afterScheme.substring(slash))
+      else (afterScheme, "/")
+    val hostPort = auth.split('@').last // userinfo never keys an index
+    val (host0, port) = hostPort.indexOf(':') match {
+      case -1 => (hostPort, "")
+      case i  => (hostPort.substring(0, i), hostPort.substring(i + 1))
+    }
+    val host = if (host0.startsWith("www.")) host0.substring(4) else host0
+    val revHost = host.split('.').reverse.mkString(",")
+    val portPart = if (port.isEmpty || port == "80" || port == "443") "" else ":" + port
+    val (path, query) = rest.indexOf('?') match {
+      case -1 => (rest, "")
+      case i  => (rest.substring(0, i), rest.substring(i + 1))
+    }
+    val sortedQuery =
+      if (query.isEmpty) ""
+      else "?" + query.split('&').filter(_.nonEmpty).sorted.mkString("&")
+    revHost + portPart + ")" + path + sortedQuery
+  }
+
+  /** SHA-1 of the payload, Base32 (RFC 4648 uppercase; 20 bytes → exactly
+    * 32 chars, no padding) — the WARC-Payload-Digest convention.
+    */
+  def sha1Base32(bytes: Array[Byte]): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new StringBuilder(32)
+    var buffer = 0L
+    var bits = 0
+    sha.foreach { b =>
+      buffer = (buffer << 8) | (b & 0xFF)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((buffer >> bits) & 0x1F).toInt))
+      }
+    }
+    sb.toString
+  }
+
+  private[pipeline] def ts14(warcDate: String): String =
+    try {
+      val i = java.time.Instant.parse(warcDate)
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+    } catch { case scala.util.control.NonFatal(_) => "19700101000000" }
+
+  // ------------------------------------------------------------- indexing
+
+  /** Index every record of every segment matching `glob`: one streaming
+    * task per segment file (the [[WarcSource]] discipline), member
+    * boundaries from [[GzipMembers]], record fields parsed from the
+    * decompressed member.
+    */
+  def entries(spark: SparkSession, glob: String): Dataset[CdxEntry] = {
+    import spark.implicits._
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+    val paths = spark.createDataset(files).repartition(math.max(1, files.size))
+    paths.mapPartitions { it =>
+      it.flatMap { pathStr =>
+        val path = new Path(pathStr)
+        val name = path.getName
+        val in = path.getFileSystem(confBc.value.value).open(path)
+        val ms = GzipMembers.members(in).flatMap { m =>
+          WarcReader.records(new java.io.ByteArrayInputStream(m.bytes))
+            .take(1) // one record per member in the CC layout
+            .map { r =>
+              CdxEntry(surtKey(r.targetUri), ts14(r.date), r.targetUri,
+                r.httpContentType, r.httpStatus, sha1Base32(r.body),
+                m.offset, m.compressedLength, name)
+            }
+        }
+        closeWhenDone(ms, in)
+      }
+    }
+  }
+
+  /** Build the sorted-shard index under `idxDir`: `cdx-NNNNN.gz` shards
+    * (range-partitioned by urlkey, sorted within), plus `cluster.idx` —
+    * one `firstKey<TAB>shard<TAB>count` line per shard. Returns entry count.
+    */
+  def build(spark: SparkSession, warcGlob: String, idxDir: String, shards: Int = 4): Long = {
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    val sorted = entries(spark, warcGlob)
+      .repartitionByRange(shards, col("urlkey"), col("ts"), col("url"))
+      .sortWithinPartitions(col("urlkey"), col("ts"), col("url"))
+    val shardInfo = sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val file = f"cdx-$pid%05d.gz"
+        val path = new Path(s"$idxDir/$file")
+        val out = path.getFileSystem(confBc.value.value).create(path, true)
+        val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+        var first: String = null
+        var n = 0L
+        try {
+          it.foreach { e =>
+            if (first == null) first = e.urlkey
+            gz.write(cdxjLine(e).getBytes(UTF_8))
+            gz.write('\n')
+            n += 1
+          }
+        } finally { gz.close() }
+        Iterator.single((first, file, n))
+      }
+    }.collect().sortBy(_._1)
+    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = fs.create(new Path(s"$idxDir/cluster.idx"), true)
+    try idx.write(shardInfo.map { case (k, f, n) => s"$k\t$f\t$n" }.mkString("", "\n", "\n").getBytes(UTF_8))
+    finally idx.close()
+    shardInfo.map(_._3).sum
+  }
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** The CDX-J line shape CC publishes: `urlkey ts {json}` with numeric
+    * fields as STRINGS (that is the published convention, kept for
+    * interchange fidelity).
+    */
+  private[pipeline] def cdxjLine(e: CdxEntry): String =
+    s"""${e.urlkey} ${e.ts} {"url": "${jsonEsc(e.url)}", "mime": "${jsonEsc(e.mime)}", """ +
+      s""""status": "${e.status}", "digest": "${e.digest}", "length": "${e.length}", """ +
+      s""""offset": "${e.offset}", "filename": "${jsonEsc(e.filename)}"}"""
+
+  // -------------------------------------------------------------- reading
+
+  /** Parse cdx shard text back into columns (Spark-native line parsing —
+    * the same DataFrame whether the index came from this writer or from a
+    * foreign CC-style indexer).
+    */
+  def read(spark: SparkSession, idxDir: String): DataFrame =
+    parseLines(spark.read.text(s"$idxDir/cdx-*.gz"))
+
+  private def parseLines(lines: DataFrame): DataFrame = {
+    val j = expr("substring(value, instr(value, '{'))")
+    lines.select(
+      expr("split_part(value, ' ', 1)").as("urlkey"),
+      expr("split_part(value, ' ', 2)").as("ts"),
+      get_json_object(j, "$.url").as("url"),
+      get_json_object(j, "$.mime").as("mime"),
+      get_json_object(j, "$.status").cast("int").as("status"),
+      get_json_object(j, "$.digest").as("digest"),
+      get_json_object(j, "$.offset").cast("long").as("offset"),
+      get_json_object(j, "$.length").cast("long").as("length"),
+      get_json_object(j, "$.filename").as("filename"))
+  }
+
+  /** Point lookup: prune to the ONE shard whose key range can hold the
+    * url (driver-side `cluster.idx`, KBs), then filter that shard. The
+    * corpus and the other shards are never opened.
+    */
+  def lookup(spark: SparkSession, idxDir: String, url: String): DataFrame = {
+    val key = surtKey(url)
+    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$idxDir/cluster.idx"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val shards = lines.map { l => val p = l.split('\t'); (p(0), p(1)) }
+    // the shard owning `key` is the last one whose firstKey <= key; a key
+    // below every firstKey can only be in the first shard
+    val owner = shards.zipWithIndex.reverse
+      .find { case ((first, _), _) => first <= key }
+      .map(_._1._2).getOrElse(shards.headOption.map(_._2).getOrElse(""))
+    if (owner.isEmpty) spark.emptyDataFrame
+    else parseLines(spark.read.text(s"$idxDir/$owner")).filter(col("urlkey") === key)
+  }
+
+  /** Random access: seek to one gzip member and parse its record — the
+    * read path the index exists for. O(record) I/O into a 100 TB corpus.
+    */
+  def fetch(conf: Configuration, segmentPath: String, offset: Long, length: Long): Option[WarcRecord] = {
+    val path = new Path(segmentPath)
+    val in = path.getFileSystem(conf).open(path)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(buf)
+      val it = WarcReader.records(new java.io.ByteArrayInputStream(buf))
+      if (it.hasNext) Some(it.next()) else None
+    } finally in.close()
+  }
+
+  private def closeWhenDone[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
+    new Iterator[T] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; in.close() }
+        h
+      }
+      def next(): T = it.next()
+    }
+}

@@ -193,6 +193,51 @@ object ExtractPipeline {
   def readOutput(spark: SparkSession, outDir: String) =
     spark.read.parquet(s"$outDir/data")
 
+  /** Ordered snapshot history `(snapshot_id, buckets)` — the Iceberg
+    * `snapshots` metadata-table analog. Survives manifest compaction:
+    * per-snapshot lines that `compactManifest` folded away are read back
+    * from the append-only archive, so history depth is never lost, only
+    * moved off the hot resume path.
+    */
+  def snapshotHistory(outDir: String): Seq[(String, Set[Int])] = {
+    def parse(path: java.nio.file.Path): Seq[(String, Set[Int])] =
+      if (!Files.exists(path)) Seq.empty
+      else Files.readAllLines(path).asScala.toSeq.filter(_.nonEmpty).flatMap { line =>
+        val sm = java.util.regex.Pattern.compile("\"snapshot_id\":\"([^\"]*)\"").matcher(line)
+        val bm = java.util.regex.Pattern.compile("\"buckets\":\\[([0-9,]*)\\]").matcher(line)
+        if (sm.find() && bm.find())
+          Some((sm.group(1),
+            if (bm.group(1).isEmpty) Set.empty[Int]
+            else bm.group(1).split(",").map(_.toInt).toSet))
+        else None
+      }
+    val dir = Paths.get(outDir, "_manifest")
+    val all = parse(dir.resolve("manifest_archive.jsonl")) ++
+      parse(dir.resolve("manifest.jsonl")).filterNot(_._1 == "compact")
+    // archive + live manifest can briefly overlap right after compaction;
+    // keep first occurrence, preserving commit order
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Set[Int]]
+    all.foreach { case (id, b) => if (!seen.contains(id)) seen(id) = b }
+    seen.toSeq
+  }
+
+  /** Time travel: the table AS OF a committed snapshot — only buckets
+    * committed at or before `snapshotId` are read (the `part_bucket`
+    * predicate is a partition filter, so later buckets' files are pruned,
+    * not scanned-and-dropped). The Iceberg `VERSION AS OF` read on this
+    * layout; with deterministic extraction it exactly reproduces what
+    * `readOutput` returned when that snapshot was the head.
+    */
+  def readAsOf(spark: SparkSession, outDir: String, snapshotId: String) = {
+    val hist = snapshotHistory(outDir)
+    val idx = hist.indexWhere(_._1 == snapshotId)
+    require(idx >= 0,
+      s"unknown snapshot '$snapshotId' (have: ${hist.map(_._1).mkString(", ")})")
+    val buckets = hist.take(idx + 1).flatMap(_._2).distinct
+    readOutput(spark, outDir)
+      .filter(col("part_bucket").isin(buckets.map(Integer.valueOf): _*))
+  }
+
   /** S7 at the storage layer: exact-url point read. The bucket predicate is
     * foldable (pmod(xxhash64(literal))), so Catalyst constant-folds it and
     * static partition pruning reads exactly ONE of the B buckets — the

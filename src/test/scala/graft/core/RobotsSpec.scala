@@ -1,0 +1,83 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.html.{RobotRule, RobotsTxt}
+
+class RobotsSpec extends AnyFunSuite {
+
+  test("RFC 9309 precedence: longest match wins, allow wins ties") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private/
+        |Allow: /private/ok/
+        |""".stripMargin
+    val rules = RobotsTxt.parse(txt)
+    assert(rules == Vector(RobotRule(false, "/private/"), RobotRule(true, "/private/ok/")))
+    assert(!RobotsTxt.isAllowed(rules, "/private/x"))
+    assert(RobotsTxt.isAllowed(rules, "/private/ok/x")) // longer allow wins
+    assert(RobotsTxt.isAllowed(rules, "/public/x"))     // nothing matches
+    // exact tie between allow and disallow → allow
+    val tie = Vector(RobotRule(false, "/p/"), RobotRule(true, "/p/"))
+    assert(RobotsTxt.isAllowed(tie, "/p/x"))
+  }
+
+  test("empty Disallow allows everything; empty file allows everything") {
+    assert(RobotsTxt.parse("User-agent: *\nDisallow:").isEmpty)
+    assert(RobotsTxt.allowed("User-agent: *\nDisallow:", "/anything"))
+    assert(RobotsTxt.allowed("", "/anything"))
+  }
+
+  test("group selection: specific agent beats *, other groups ignored") {
+    val txt =
+      """User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /graft-only/
+        |
+        |User-agent: *
+        |Disallow: /tmp/
+        |""".stripMargin
+    // our agent gets its own group, not otherbot's blanket ban
+    assert(RobotsTxt.allowed(txt, "/tmp/x", agent = "graftbot")) // * group doesn't apply
+    assert(!RobotsTxt.allowed(txt, "/graft-only/x", agent = "graftbot"))
+    // unknown agent falls to the * group
+    assert(!RobotsTxt.allowed(txt, "/tmp/x", agent = "somebot"))
+    assert(RobotsTxt.allowed(txt, "/ok", agent = "somebot"))
+    // consecutive User-agent lines share one rule set
+    val shared = "User-agent: a\nUser-agent: b\nDisallow: /x/"
+    assert(!RobotsTxt.allowed(shared, "/x/1", agent = "a"))
+    assert(!RobotsTxt.allowed(shared, "/x/1", agent = "b"))
+  }
+
+  test("wildcard and end-anchor patterns (§2.2.3)") {
+    assert(RobotsTxt.matches("/a/*/c", "/a/b/c"))
+    assert(RobotsTxt.matches("/a/*/c", "/a/bbb/cxx")) // prefix semantics: match continues
+    assert(!RobotsTxt.matches("/a/*/c", "/a/b/d"))
+    assert(RobotsTxt.matches("/*.pdf$", "/docs/file.pdf"))
+    assert(!RobotsTxt.matches("/*.pdf$", "/docs/file.pdfx"))
+    assert(RobotsTxt.matches("/exact$", "/exact"))
+    assert(!RobotsTxt.matches("/exact$", "/exact/more"))
+    assert(RobotsTxt.matches("/p", "/page")) // plain prefix
+    val rules = RobotsTxt.parse("User-agent: *\nDisallow: /*.json$\nDisallow: /search*q=")
+    assert(!RobotsTxt.isAllowed(rules, "/api/data.json"))
+    assert(RobotsTxt.isAllowed(rules, "/api/data.jsonl"))
+    assert(!RobotsTxt.isAllowed(rules, "/search/results?q=x"))
+  }
+
+  test("comments, junk lines, and sitemaps") {
+    val txt =
+      """# a comment
+        |User-agent: * # trailing comment
+        |Disallow: /x/ # also stripped
+        |not a directive
+        |Crawl-delay: 10
+        |Sitemap: https://ex.com/sitemap.xml
+        |Sitemap: https://ex.com/sitemap2.xml
+        |""".stripMargin
+    assert(!RobotsTxt.allowed(txt, "/x/1"))
+    assert(RobotsTxt.allowed(txt, "/y"))
+    assert(RobotsTxt.sitemaps(txt) ==
+      Vector("https://ex.com/sitemap.xml", "https://ex.com/sitemap2.xml"))
+  }
+}

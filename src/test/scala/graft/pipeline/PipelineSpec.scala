@@ -375,4 +375,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(ExtractPipeline.committedBuckets(out) == before + 200)
     assert(ExtractPipeline.compactManifest(out) == 2)
   }
+
+  test("time travel: readAsOf reproduces each snapshot head, survives compaction") {
+    import spark.implicits._
+    val out = tmpDir()
+    val pages = ExtractStage.generatePages(spark, 400, partitions = 8)
+    ExtractPipeline.run(spark, pages, out, numBuckets = 8, snapshotGroups = 4, runId = "tt")
+
+    val hist = ExtractPipeline.snapshotHistory(out)
+    assert(hist.map(_._1) == (0 until 4).map(i => f"snap-tt-$i%03d"))
+    assert(hist.flatMap(_._2).toSet == (0 until 8).toSet)
+
+    // as-of each snapshot == exactly the rows of the buckets committed so far
+    val full = ExtractPipeline.readOutput(spark, out)
+      .select($"url", $"part_bucket").as[(String, Int)].collect().toSet
+    hist.indices.foreach { i =>
+      val expectBuckets = hist.take(i + 1).flatMap(_._2).toSet
+      val got = ExtractPipeline.readAsOf(spark, out, hist(i)._1)
+        .select($"url", $"part_bucket").as[(String, Int)].collect().toSet
+      assert(got == full.filter(r => expectBuckets(r._2)), s"as-of ${hist(i)._1}")
+    }
+    // the as-of scan prunes: only the asked-for buckets' directories appear
+    val plan = ExtractPipeline.readAsOf(spark, out, hist.head._1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "bucket filter must prune partitions")
+
+    // unknown snapshot is an explicit error, not an empty read
+    intercept[IllegalArgumentException] {
+      ExtractPipeline.readAsOf(spark, out, "snap-nope")
+    }
+
+    // compaction moves history to the archive; as-of still answers
+    assert(ExtractPipeline.compactManifest(out) == 4)
+    val hist2 = ExtractPipeline.snapshotHistory(out)
+    assert(hist2 == hist, "history must survive manifest compaction")
+    val got0 = ExtractPipeline.readAsOf(spark, out, hist.head._1)
+      .select($"url", $"part_bucket").as[(String, Int)].collect().toSet
+    assert(got0 == full.filter(r => hist.head._2(r._2)))
+  }
 }
