@@ -1759,7 +1759,36 @@ object Queries {
           "SELECT host, count(*) AS n_urls, " +
           "CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed, " +
           "CAST(sum(CASE WHEN allowed THEN 0 ELSE doc_id END) AS BIGINT) AS blocked_id_sum " +
-          "FROM final GROUP BY host ORDER BY host")))
+          "FROM final GROUP BY host ORDER BY host")),
+
+    // Crawl-frontier seen-set (SeenUrls' shape inline): which batch urls
+    // are NEW vs the committed corpus? A mergeable Bloom sketch routes
+    // the work — definitely-unseen urls skip the corpus entirely (a
+    // Bloom filter cannot false-negative), only the ~fpp maybe-seen
+    // sliver pays the exact anti-join — and the ANSWER is exactly the
+    // anti-join semantics, which is why a sketch-free DuckDB NOT-IN pins
+    // it value-exactly. At 10^12 committed urls this is the difference
+    // between probing the corpus with the whole batch and probing it
+    // with 1% of it (SeenUrlsSpec proves routing ≡ plain anti-join and
+    // bounds the false-positive sliver).
+    Q("q84_seen_urls",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("url", concat(lit("doc://"), col("doc_id")))
+        val committed = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).select("url")
+        val batch = docs.select(col("doc_id"), col("url"))
+        val bf = committed.stat.bloomFilter("url", 100000L, 0.01)
+        val bfBc = s.sparkContext.broadcast(bf)
+        val might = udf((u: String) => bfBc.value.mightContainString(u))
+        val definiteNew = batch.filter(!might(col("url")))
+        val confirmedNew = batch.filter(might(col("url")))
+          .join(committed, Seq("url"), "left_anti")
+        definiteNew.unionByName(confirmedNew).agg(
+          count(lit(1)).as("n_new"),
+          sum(col("doc_id")).cast("long").as("new_id_sum"))
+      },
+      Some("SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS new_id_sum " +
+        "FROM documents WHERE doc_id % 3 = 0")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

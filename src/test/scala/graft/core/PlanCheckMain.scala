@@ -30,6 +30,20 @@ object PlanCheckMain {
       // a join anywhere in its plan would mean the operator stopped being
       // a pure per-row rewrite
       "q75_pii_scrub" -> ("scrub is join-free projection",
+        p => !p.split("== Initial Plan ==").head.contains("Join")),
+      // round 4 continuation: paragraph dedup is hash-agg + hash-join on
+      // the paragraph key — a global window/sort here would serialize the
+      // corpus through one partition
+      "q79_paragraph_dedup" -> ("no window, no cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") }),
+      // the bigram LM is vocab-sized: its corpus join must broadcast
+      "q80_lm_quality" -> ("LM join broadcast", _.contains("BroadcastHashJoin")),
+      // per-host gate rates are one projection + one hash agg
+      "q81_domain_policy" -> ("gate is join-free projection",
+        p => !p.split("== Initial Plan ==").head.contains("Join")),
+      // robots decisions are per-row parse+match — join-free by design
+      "q83_robots_decision" -> ("robots decision join-free",
         p => !p.split("== Initial Plan ==").head.contains("Join")))
 
     graft.Queries.all.foreach { q =>

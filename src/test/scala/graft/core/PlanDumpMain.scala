@@ -39,7 +39,13 @@ object PlanDumpMain {
       "q75_pii_scrub" -> ("PII scrub is a join-free codegen'd projection",
         "All three redaction passes (email → IP → phone) plus their counts are one projection over the scan — no UDF, no join, no shuffle before the final aggregate. At 100 TB the scrub rides the same single pass every release-prep scan already makes (PlanCheckMain asserts the join-free shape)."),
       "q76_langid_ngram" -> ("Trained langid: profiles broadcast, corpus never reshuffled",
-        "The per-lang trigram profile table is vocabulary-sized, so the score join is an explicit BroadcastHashJoin against the exploded corpus side; per-(doc, lang) scores partial-aggregate before the single shuffle. Training and scoring are the same two scans at any corpus size — the model is the small side by construction."))
+        "The per-lang trigram profile table is vocabulary-sized, so the score join is an explicit BroadcastHashJoin against the exploded corpus side; per-(doc, lang) scores partial-aggregate before the single shuffle. Training and scoring are the same two scans at any corpus size — the model is the small side by construction."),
+      "q79_paragraph_dedup" -> ("Paragraph dedup: content-keyed hash join, no global order",
+        "First-occurrence-wins is min(order-scalar) per paragraph hash plus a hash join back — the same shuffle-on-content-key shape as exact doc dedup, at paragraph granularity. No window, no sort: a global order-by here would serialize the corpus through one partition (PlanCheckMain asserts the window-free shape)."),
+      "q80_lm_quality" -> ("LM quality: model and cutoffs broadcast, sort bounded to the sample",
+        "The bigram LM is vocab-sized and broadcast into the corpus-side left join; per-doc scores partial-aggregate before their one shuffle. The only global sort (ntile) runs over the 5% SAMPLE that derives the two cutoffs — the corpus itself is bucketed by a constant-threshold projection through a 1-row broadcast, exactly how CCNet applies sample-derived perplexity thresholds as constants."),
+      "q83_robots_decision" -> ("Robots decision is a join-free projection",
+        "Parse + longest-match-precedence run per row inside one projection; the plan has no join and no shuffle before the per-host aggregate. In a real crawl the rules table is per-host and tiny — either way the corpus side is never reshuffled for consent checks."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
