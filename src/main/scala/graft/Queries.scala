@@ -1788,7 +1788,85 @@ object Queries {
           sum(col("doc_id")).cast("long").as("new_id_sum"))
       },
       Some("SELECT count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS new_id_sum " +
-        "FROM documents WHERE doc_id % 3 = 0")))
+        "FROM documents WHERE doc_id % 3 = 0")),
+
+    // Sitemap-protocol frontier discovery (sitemaps.org — what robots.txt
+    // `Sitemap:` lines point at): per-doc planted sitemap XML (entities,
+    // optional second url, lastmod/priority children) parsed by the core
+    // SitemapXml tolerant scanner on the Spark side, re-extracted in
+    // DuckDB by an INDEPENDENT regexp formulation over the same strings —
+    // entry counts, child-field presence, and entity decoding all pinned.
+    // Scale shape: parse is a per-row flatMap (a Generate over the udf
+    // array), no shuffle before the final aggregate.
+    Q("q85_sitemap_frontier",
+      (s, dir) => {
+        val did = col("doc_id")
+        val base = concat(lit("https://site"), pmod(did, lit(5)).cast("string"), lit(".com"))
+        val xml = concat(
+          lit("<urlset><url><loc>"), base, lit("/p"), did.cast("string"),
+          lit("?a=1&amp;b=2</loc><lastmod>2025-06-0"),
+          (pmod(did, lit(9)) + 1).cast("string"),
+          lit("</lastmod><priority>0."), pmod(did, lit(10)).cast("string"),
+          lit("</priority></url>"),
+          when(pmod(did, lit(2)) === 0,
+            concat(lit("<url><loc>"), base, lit("/q"), did.cast("string"), lit("</loc></url>")))
+            .otherwise(lit("")),
+          lit("</urlset>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.sitemapEntries(xml)).as("e"))
+          .agg(countDistinct(col("doc_id")).as("n_sitemaps"),
+            count(lit(1)).as("n_entries"),
+            sum(when(col("e.lastmod") =!= "", 1).otherwise(0)).cast("long").as("n_with_lastmod"),
+            sum(when(col("e.priority") >= 0, 1).otherwise(0)).cast("long").as("n_with_priority"),
+            sum(when(col("e.loc").contains("&"), 1).otherwise(0)).cast("long").as("n_amp_locs"),
+            sum(length(col("e.loc"))).cast("long").as("loc_chars"))
+      },
+      Some(
+        "WITH x AS (SELECT doc_id, '<urlset><url><loc>https://site' || (doc_id % 5)::VARCHAR || '.com/p' || doc_id::VARCHAR || " +
+          "'?a=1&amp;b=2</loc><lastmod>2025-06-0' || (doc_id % 9 + 1)::VARCHAR || '</lastmod><priority>0.' || " +
+          "(doc_id % 10)::VARCHAR || '</priority></url>' || " +
+          "CASE WHEN doc_id % 2 = 0 THEN '<url><loc>https://site' || (doc_id % 5)::VARCHAR || '.com/q' || doc_id::VARCHAR || '</loc></url>' ELSE '' END || " +
+          "'</urlset>' AS xml FROM documents), " +
+          "e AS (SELECT doc_id, replace(unnest(regexp_extract_all(xml, '<loc>([^<]*)</loc>', 1)), '&amp;', '&') AS loc FROM x), " +
+          "lm AS (SELECT doc_id, len(regexp_extract_all(xml, '<lastmod>([^<]*)</lastmod>', 1)) AS nl, " +
+          "len(regexp_extract_all(xml, '<priority>([^<]*)</priority>', 1)) AS np FROM x) " +
+          "SELECT a.n_sitemaps, a.n_entries, b.n_with_lastmod, b.n_with_priority, a.n_amp_locs, a.loc_chars FROM " +
+          "(SELECT count(DISTINCT doc_id) AS n_sitemaps, count(*) AS n_entries, " +
+          "CAST(sum(CASE WHEN position('&' IN loc) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_amp_locs, " +
+          "CAST(sum(len(loc)) AS BIGINT) AS loc_chars FROM e) a " +
+          "CROSS JOIN (SELECT CAST(sum(nl) AS BIGINT) AS n_with_lastmod, " +
+          "CAST(sum(np) AS BIGINT) AS n_with_priority FROM lm) b")),
+
+    // Politeness scheduling — the frontier's per-host fetch budget: urls
+    // rank within their HOST by priority (total tie-break), and every 3
+    // ranks form one crawl wave, so no host is hit more than 3× per wave
+    // regardless of how hot it is. The window partitions BY HOST — per-
+    // host state never converges on one task, which is what makes this
+    // schedulable over 10^9 hosts (contrast the global-window ntile q80
+    // deliberately confines to a sample).
+    Q("q86_crawl_schedule",
+      (s, dir) => {
+        val host = concat(lit("site"), pmod(col("doc_id"), lit(5)).cast("string"), lit(".com"))
+        val fr = t(s, dir, "documents").select(col("doc_id"), host.as("host"),
+          pmod(col("doc_id") * 7, lit(100)).as("priority"))
+        val w = Window.partitionBy(col("host")).orderBy(col("priority").desc, col("doc_id"))
+        fr.withColumn("rn", row_number().over(w))
+          .withColumn("wave", expr("(rn - 1) div 3"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            (max(col("wave")) + 1).cast("long").as("n_waves"),
+            sum(when(col("wave") === 0, col("doc_id")).otherwise(0L)).cast("long").as("wave0_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH fr AS (SELECT doc_id, 'site' || (doc_id % 5)::VARCHAR || '.com' AS host, " +
+          "(doc_id * 7) % 100 AS priority FROM documents), " +
+          "rn AS (SELECT doc_id, host, row_number() OVER (PARTITION BY host ORDER BY priority DESC, doc_id) AS rn FROM fr), " +
+          "wv AS (SELECT doc_id, host, (rn - 1) // 3 AS wave FROM rn) " +
+          "SELECT host, count(*) AS n_urls, CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
+          "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
+          "FROM wv GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -49,6 +49,16 @@ object GraftFunctions {
       if (robotsTxt == null) "" else robotsTxt,
       if (path == null) "/" else path))
 
+  /** Sitemap entries as rows — [[graft.core.html.SitemapXml]]'s tolerant
+    * scanner in column shape (absent lastmod → "", absent priority → -1,
+    * keeping the struct null-free for the relational consumers).
+    */
+  val sitemapEntries = udf((xml: String) =>
+    if (xml == null) Seq.empty[graft.functions.SitemapRow]
+    else graft.core.html.SitemapXml.parse(xml).entries.map(e =>
+      graft.functions.SitemapRow(e.loc, e.lastmod.getOrElse(""),
+        e.priority.getOrElse(-1.0))))
+
   /** PII redaction as a codegen'd projection (q75, CuratedPipeline
     * `scrubPii`): emails → `<EMAIL>`, dotted quads → `<IP>`, phone shapes →
     * `<PHONE>`, in that fixed order, with per-type match counts. The
@@ -231,3 +241,9 @@ object IncrementalMean extends Aggregator[Double, (Double, Long), Double] {
   override def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
+
+/** Top-level so the sitemap udf's return element gets a derivable encoder
+  * (absent lastmod → "", absent priority → -1.0 — null-free by
+  * construction; see [[GraftFunctions.sitemapEntries]]).
+  */
+final case class SitemapRow(loc: String, lastmod: String, priority: Double)
