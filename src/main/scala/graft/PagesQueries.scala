@@ -96,14 +96,14 @@ object PagesQueries {
     // member — the index stats and the fetched record's integrity in one
     // query (rows-only; byte fidelity + shard-order pinned in CdxSpec)
     "q82_cdx_lookup" -> ((s, dir) => {
-      val warcDir = warcOut(s, dir)
+      warcOut(s, dir) // segments exist before the index builds over them
       val idxDir = cdxOut(s, dir)
       val u = graft.pipeline.PageGen.url(graft.pipeline.PageGen.DefaultSeed, 7L)
       val hit = graft.pipeline.CdxIndex.lookup(s, idxDir, u)
         .select(col("filename"), col("offset"), col("length"), col("digest")).collect()
       val fetched = hit.headOption.flatMap { r =>
         graft.pipeline.CdxIndex.fetch(s.sparkContext.hadoopConfiguration,
-          s"$warcDir/${r.getString(0)}", r.getLong(1), r.getLong(2))
+          r.getString(0), r.getLong(1), r.getLong(2))
       }
       val digestOk = hit.headOption.exists { r =>
         fetched.exists(rec => graft.pipeline.CdxIndex.sha1Base32(rec.body) == r.getString(3))

@@ -111,19 +111,22 @@ object CdxIndex {
     * boundaries from [[GzipMembers]], record fields parsed from the
     * decompressed member.
     */
-  def entries(spark: SparkSession, glob: String): Dataset[CdxEntry] = {
+  def entries(spark: SparkSession, glob: String): Dataset[CdxEntry] =
+    entriesForFiles(spark, listSegments(spark, glob))
+
+  /** [[entries]] over an explicit file list (the append path's
+    * not-yet-indexed slice). The entry's `filename` is the FULL segment
+    * path — unique across segment directories and fetchable as-is (CC's
+    * own cdxj carries crawl-root-relative paths for the same reason).
+    */
+  private def entriesForFiles(spark: SparkSession, files: Seq[String]): Dataset[CdxEntry] = {
     import spark.implicits._
-    val p = new Path(glob)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-    val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
     val paths = spark.createDataset(files).repartition(math.max(1, files.size))
     paths.mapPartitions { it =>
       it.flatMap { pathStr =>
         val path = new Path(pathStr)
-        val name = path.getName
         val in = path.getFileSystem(confBc.value.value).open(path)
         val ms = GzipMembers.members(in).flatMap { m =>
           WarcReader.records(new java.io.ByteArrayInputStream(m.bytes))
@@ -131,7 +134,7 @@ object CdxIndex {
             .map { r =>
               CdxEntry(surtKey(r.targetUri), ts14(r.date), r.targetUri,
                 r.httpContentType, r.httpStatus, sha1Base32(r.body),
-                m.offset, m.compressedLength, name)
+                m.offset, m.compressedLength, pathStr)
             }
         }
         closeWhenDone(ms, in)
@@ -139,22 +142,92 @@ object CdxIndex {
     }
   }
 
-  /** Build the sorted-shard index under `idxDir`: `cdx-NNNNN.gz` shards
-    * (range-partitioned by urlkey, sorted within), plus `cluster.idx` —
-    * one `firstKey<TAB>shard<TAB>count` line per shard. Returns entry count.
+  /** Build the sorted-shard index under `idxDir`: `cdx-g0-NNNNN.gz`
+    * shards (range-partitioned by urlkey, sorted within) plus
+    * `cluster.idx`. Returns entry count. A rebuild replaces the whole
+    * index state.
     */
   def build(spark: SparkSession, warcGlob: String, idxDir: String, shards: Int = 4): Long = {
+    val files = listSegments(spark, warcGlob)
+    val shardInfo = writeGeneration(spark,
+      entriesForFiles(spark, files), idxDir, gen = 0, shards)
+    commitCluster(spark, idxDir, files, shardInfo)
+    shardInfo.map(_._3).sum
+  }
+
+  /** Incremental maintenance — the LSM discipline the manifest tables
+    * already follow: index ONLY segments `cluster.idx` has not seen, as a
+    * NEW sorted generation (`cdx-g<n>-*.gz`); lookups consult one shard
+    * PER GENERATION; [[compactGenerations]] folds generations back to
+    * one. Nothing existing is rewritten, so a daily crawl appends its
+    * segments in O(new data). Commit point is the single atomic
+    * `cluster.idx` rewrite (it carries both the shard map and the
+    * indexed-segment list): a crash before it leaves only orphan shard
+    * files that the cluster-driven reader never consults; a re-run
+    * re-indexes the same segments into a fresh generation and commits.
+    * Returns entries appended (0 = everything already indexed).
+    */
+  def append(spark: SparkSession, warcGlob: String, idxDir: String, shards: Int = 4): Long = {
+    val state = clusterState(spark, idxDir)
+    val files = listSegments(spark, warcGlob)
+      .filterNot(state.segments.contains)
+    if (files.isEmpty) return 0L
+    val gen = state.shards.map(s => genOf(s._2)).reduceOption(_ max _).getOrElse(-1) + 1
+    val shardInfo = writeGeneration(spark,
+      entriesForFiles(spark, files), idxDir, gen, shards)
+    commitCluster(spark, idxDir,
+      state.segments ++ files,
+      state.shards ++ shardInfo)
+    shardInfo.map(_._3).sum
+  }
+
+  /** Fold every generation into one freshly-sorted generation (the LSM
+    * major compaction): new shards written under the next gen number, the
+    * cluster.idx rewrite is the atomic cutover, old shard files deleted
+    * last (a crash leaves orphans the reader ignores, never a torn
+    * index). Indexed-segment memory is preserved.
+    */
+  def compactGenerations(spark: SparkSession, idxDir: String, shards: Int = 4): Long = {
     import spark.implicits._
+    val state = clusterState(spark, idxDir)
+    val gens = state.shards.map(s => genOf(s._2)).distinct
+    if (gens.size <= 1) return 0L
+    val all = read(spark, idxDir).as[CdxEntry]
+    val gen = gens.max + 1
+    val shardInfo = writeGeneration(spark, all, idxDir, gen, shards)
+    commitCluster(spark, idxDir, state.segments, shardInfo)
+    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    state.shards.foreach { case (_, f, _) => fs.delete(new Path(s"$idxDir/$f"), false) }
+    shardInfo.map(_._3).sum
+  }
+
+  private def listSegments(spark: SparkSession, glob: String): Seq[String] = {
+    val p = new Path(glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).toSeq.sorted
+  }
+
+  private[pipeline] def genOf(shardFile: String): Int = {
+    val m = java.util.regex.Pattern.compile("cdx-g(\\d+)-").matcher(shardFile)
+    if (m.find()) m.group(1).toInt else 0
+  }
+
+  /** Range-partition + sort the entries and write them as one generation's
+    * shards; returns (firstKey, file, count) per non-empty shard.
+    */
+  private def writeGeneration(spark: SparkSession, es: Dataset[CdxEntry],
+      idxDir: String, gen: Int, shards: Int): Seq[(String, String, Long)] = {
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-    val sorted = entries(spark, warcGlob)
+    val sorted = es
       .repartitionByRange(shards, col("urlkey"), col("ts"), col("url"))
       .sortWithinPartitions(col("urlkey"), col("ts"), col("url"))
-    val shardInfo = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val file = f"cdx-$pid%05d.gz"
+        val file = f"cdx-g$gen%d-$pid%05d.gz"
         val path = new Path(s"$idxDir/$file")
         val out = path.getFileSystem(confBc.value.value).create(path, true)
         val gz = new java.util.zip.GZIPOutputStream(out, 1 << 16)
@@ -170,12 +243,49 @@ object CdxIndex {
         } finally { gz.close() }
         Iterator.single((first, file, n))
       }
-    }.collect().sortBy(_._1)
+    }(org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  /** The reader-visible index state: indexed segment names + shard map. */
+  private[pipeline] final case class ClusterState(
+      segments: Seq[String], shards: Seq[(String, String, Long)])
+
+  private[pipeline] def clusterState(spark: SparkSession, idxDir: String): ClusterState = {
+    val path = new Path(s"$idxDir/cluster.idx")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return ClusterState(Seq.empty, Seq.empty)
+    val in = fs.open(path)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val segments = lines.collect { case l if l.startsWith("#segment\t") => l.substring(9) }
+    val shards = lines.filterNot(_.startsWith("#")).filter(_.nonEmpty).map { l =>
+      val p = l.split('\t'); (p(0), p(1), p(2).toLong)
+    }
+    ClusterState(segments, shards)
+  }
+
+  /** Atomic cluster.idx rewrite (tmp + rename): shard map + the
+    * indexed-segment list in ONE file, so crash recovery never sees a
+    * shard map that disagrees with the segment memory.
+    */
+  private def commitCluster(spark: SparkSession, idxDir: String,
+      segments: Seq[String], shards: Seq[(String, String, Long)]): Unit = {
     val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idx = fs.create(new Path(s"$idxDir/cluster.idx"), true)
-    try idx.write(shardInfo.map { case (k, f, n) => s"$k\t$f\t$n" }.mkString("", "\n", "\n").getBytes(UTF_8))
-    finally idx.close()
-    shardInfo.map(_._3).sum
+    val tmp = new Path(s"$idxDir/cluster.idx.tmp")
+    val out = fs.create(tmp, true)
+    val body =
+      segments.distinct.sorted.map(s => s"#segment\t$s") ++
+        shards.sortBy(_._1).map { case (k, f, n) => s"$k\t$f\t$n" }
+    try out.write(body.mkString("", "\n", "\n").getBytes(UTF_8)) finally out.close()
+    val dst = new Path(s"$idxDir/cluster.idx")
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"cluster.idx commit failed in $idxDir")
   }
 
   private def jsonEsc(s: String): String =
@@ -199,10 +309,15 @@ object CdxIndex {
 
   /** Parse cdx shard text back into columns (Spark-native line parsing —
     * the same DataFrame whether the index came from this writer or from a
-    * foreign CC-style indexer).
+    * foreign CC-style indexer). CLUSTER-DRIVEN: only shards `cluster.idx`
+    * names are read, so compaction orphans and torn appends are invisible;
+    * a foreign index without a cluster file falls back to the glob.
     */
-  def read(spark: SparkSession, idxDir: String): DataFrame =
-    parseLines(spark.read.text(s"$idxDir/cdx-*.gz"))
+  def read(spark: SparkSession, idxDir: String): DataFrame = {
+    val state = clusterState(spark, idxDir)
+    if (state.shards.isEmpty) parseLines(spark.read.text(s"$idxDir/cdx-*.gz"))
+    else parseLines(spark.read.text(state.shards.map(s => s"$idxDir/${s._2}"): _*))
+  }
 
   private def parseLines(lines: DataFrame): DataFrame = {
     val j = expr("substring(value, instr(value, '{'))")
@@ -218,25 +333,25 @@ object CdxIndex {
       get_json_object(j, "$.filename").as("filename"))
   }
 
-  /** Point lookup: prune to the ONE shard whose key range can hold the
-    * url (driver-side `cluster.idx`, KBs), then filter that shard. The
-    * corpus and the other shards are never opened.
+  /** Point lookup: prune to ONE shard PER GENERATION whose key range can
+    * hold the url (driver-side `cluster.idx`, KBs), then filter those
+    * shards. With a compacted index that is one file; an appended-but-not-
+    * compacted index pays one shard per generation — the LSM read
+    * amplification compaction exists to fold away. The corpus and every
+    * other shard are never opened.
     */
   def lookup(spark: SparkSession, idxDir: String, url: String): DataFrame = {
     val key = surtKey(url)
-    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(s"$idxDir/cluster.idx"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-      finally in.close()
-    val shards = lines.map { l => val p = l.split('\t'); (p(0), p(1)) }
-    // the shard owning `key` is the last one whose firstKey <= key; a key
-    // below every firstKey can only be in the first shard
-    val owner = shards.zipWithIndex.reverse
-      .find { case ((first, _), _) => first <= key }
-      .map(_._1._2).getOrElse(shards.headOption.map(_._2).getOrElse(""))
-    if (owner.isEmpty) spark.emptyDataFrame
-    else parseLines(spark.read.text(s"$idxDir/$owner")).filter(col("urlkey") === key)
+    val state = clusterState(spark, idxDir)
+    if (state.shards.isEmpty) return spark.emptyDataFrame
+    val owners = state.shards.groupBy(s => genOf(s._2)).values.toSeq.flatMap { gen =>
+      val sorted = gen.sortBy(_._1)
+      // the owner is the last shard whose firstKey <= key; a key below
+      // every firstKey can only live in the generation's first shard
+      sorted.reverse.find(_._1 <= key).orElse(sorted.headOption).map(_._2)
+    }
+    parseLines(spark.read.text(owners.map(o => s"$idxDir/$o"): _*))
+      .filter(col("urlkey") === key)
   }
 
   /** Random access: seek to one gzip member and parse its record — the

@@ -114,6 +114,7 @@ class CdxSpec extends AnyFunSuite {
 
     // shards are sorted and cluster.idx first-keys are correct
     val cluster = scala.io.Source.fromFile(s"$idxDir/cluster.idx").getLines().toVector
+      .filterNot(_.startsWith("#")) // #segment lines carry the indexed-file memory
       .map { l => val p = l.split('\t'); (p(0), p(1), p(2).toLong) }
     assert(cluster.map(_._3).sum == n)
     cluster.foreach { case (firstKey, shard, cnt) =>
@@ -135,7 +136,7 @@ class CdxSpec extends AnyFunSuite {
         .select($"filename", $"offset", $"length", $"digest").collect()
       assert(hit.length == 1, s"lookup for ${p.url}")
       val r = hit.head
-      val rec = CdxIndex.fetch(conf, s"$warcDir/${r.getString(0)}", r.getLong(1), r.getLong(2))
+      val rec = CdxIndex.fetch(conf, r.getString(0), r.getLong(1), r.getLong(2))
       assert(rec.isDefined)
       val body = rec.get.body
       val expected = if (p.html == null) Array.empty[Byte] else p.html
@@ -145,5 +146,58 @@ class CdxSpec extends AnyFunSuite {
 
     // a url that was never crawled resolves to an empty result, not a scan
     assert(CdxIndex.lookup(spark, idxDir, "https://never.crawled.example/nope").count() == 0)
+  }
+
+  test("incremental append: new generation only, idempotent, compaction folds") {
+    import spark.implicits._
+    val warcDir = Files.createTempDirectory("graft-cdx-inc").toString
+    val idxDir = Files.createTempDirectory("graft-cdx-inc-idx").toString
+    val glob = s"$warcDir/*/part-*"
+    def pages(from: Long, until: Long) =
+      spark.range(from, until, 1L, 2).map(i => PageGen.page(PageGen.DefaultSeed, i))
+
+    WarcWriter.write(spark, pages(0L, 150L), s"$warcDir/day0")
+    assert(CdxIndex.build(spark, glob, idxDir, shards = 2) == 150L)
+
+    // a new day's segments land; append indexes ONLY them, as a new gen
+    WarcWriter.write(spark, pages(150L, 250L), s"$warcDir/day1")
+    assert(CdxIndex.append(spark, glob, idxDir, shards = 2) == 100L)
+    assert(CdxIndex.append(spark, glob, idxDir, shards = 2) == 0L, "segment memory must prevent re-indexing")
+
+    val state = CdxIndex.clusterState(spark, idxDir)
+    assert(state.shards.map(s => CdxIndex.genOf(s._2)).distinct.sorted == Seq(0, 1))
+    assert(CdxIndex.read(spark, idxDir).count() == 250L)
+
+    // lookups span generations (one owner shard per gen); the stored
+    // filename is the full segment path, so day0/day1 disambiguate even
+    // though their part files share basenames
+    val conf = spark.sparkContext.hadoopConfiguration
+    def check(i: Long, day: String): Unit = {
+      val p = PageGen.page(PageGen.DefaultSeed, i)
+      val hit = CdxIndex.lookup(spark, idxDir, p.url)
+        .select($"filename", $"offset", $"length").collect()
+      assert(hit.length == 1, s"lookup for ${p.url}")
+      assert(hit.head.getString(0).contains(s"/$day/"), s"wrong segment dir for ${p.url}")
+      val rec = CdxIndex.fetch(conf, hit.head.getString(0),
+        hit.head.getLong(1), hit.head.getLong(2))
+      assert(rec.exists(_.body.sameElements(p.html)))
+    }
+    check(10L, "day0")
+    check(200L, "day1")
+
+    // major compaction: one generation, same answers, orphans deleted
+    assert(CdxIndex.compactGenerations(spark, idxDir, shards = 2) == 250L)
+    val compacted = CdxIndex.clusterState(spark, idxDir)
+    assert(compacted.shards.map(s => CdxIndex.genOf(s._2)).distinct.size == 1)
+    assert(compacted.segments == state.segments, "segment memory survives compaction")
+    assert(CdxIndex.read(spark, idxDir).count() == 250L)
+    check(10L, "day0")
+    check(200L, "day1")
+    // old generations' files are gone from disk
+    state.shards.foreach { case (_, f, _) =>
+      assert(!new java.io.File(s"$idxDir/$f").exists(), s"orphan $f survived compaction")
+    }
+    // still idempotent after compaction
+    assert(CdxIndex.append(spark, glob, idxDir, shards = 2) == 0L)
   }
 }
