@@ -117,6 +117,25 @@ object PagesQueries {
         .withColumn("digest_ok", lit(digestOk))
     }),
 
+    // Outlink extraction over raw page bytes — the link-analysis input
+    // (frontier expansion, host ranking, anchor indexing): every <a href>
+    // resolved RFC-3986-absolutely (<base href>-aware), anchor text
+    // flattened, rel=nofollow surfaced; one tokenizer pass per page, a
+    // per-row flatMap with no shuffle before the aggregate (rows-only;
+    // resolution/inertness/implied-close semantics pinned in LinkSpec)
+    "q88_link_graph" -> ((s, dir) => {
+      val pages = graft.pipeline.ExtractStage
+        .generatePages(s, math.min(pageCount(dir), 1000L), partitions = 8).toDF()
+      pages.select(col("url"),
+          explode(graft.functions.GraftFunctions.outlinks(col("html"), col("url"))).as("l"))
+        .agg(countDistinct(col("url")).as("n_pages"),
+          count(lit(1)).as("n_links"),
+          sum(when(col("l.nofollow"), 1L).otherwise(0L)).as("n_nofollow"),
+          countDistinct(col("l.target")).as("n_targets"),
+          sum(when(length(col("l.anchor")) > 0, 1L).otherwise(0L)).as("n_with_anchor"),
+          sum(length(col("l.target"))).as("target_chars"))
+    }),
+
     // Common-Crawl interchange: pages exported as per-record-gzip WARC
     // response segments, re-ingested through the streaming WarcSource, and
     // run through the extract core — the full crawl-format cycle in one

@@ -1866,7 +1866,120 @@ object Queries {
           "wv AS (SELECT doc_id, host, (rn - 1) // 3 AS wave FROM rn) " +
           "SELECT host, count(*) AS n_urls, CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
           "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
-          "FROM wv GROUP BY host ORDER BY host")))
+          "FROM wv GROUP BY host ORDER BY host")),
+
+    // EXACT SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better" — ExactSubstr): remove every
+    // duplicated span of ≥10 tokens, keeping its FIRST occurrence
+    // corpus-wide. The suffix-array formulation doesn't distribute; the
+    // equivalent relational shape does: every 10-token window is hashed,
+    // a window whose (doc,pos) is not the global first occurrence of its
+    // content is a duplicated ANCHOR, and per-doc anchor runs merge into
+    // maximal spans via islands-and-gaps (prev-max-end vs pos). On the
+    // dup corpus each copy loses essentially its whole text while the
+    // originals keep theirs — the Lee semantics, visible in the numbers.
+    // Scale shape: one shuffle on window content (hash agg + join back),
+    // then PER-DOC windows only (islands never cross documents); no
+    // global sort anywhere.
+    Q("q87_substring_dedup",
+      (s, dir) => {
+        val win = dupCorpus(s, dir)
+          .withColumn("wrd", split(col("text"), " "))
+          .filter(size(col("wrd")) >= 10)
+          .withColumn("nw", size(col("wrd")))
+          .selectExpr("doc_id", "nw",
+            "posexplode(transform(sequence(1, size(wrd)-9), i -> concat_ws(' ', slice(wrd, i, 10)))) as (off, g)")
+          .withColumn("pos", col("off") + 1).drop("off")
+          .withColumn("ord", col("doc_id") * 1000000L + col("pos"))
+        val first = win.groupBy(col("g")).agg(min(col("ord")).as("first_ord"))
+        val dups = win.join(first, "g").filter(col("ord") > col("first_ord"))
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = dups
+          .withColumn("prev_end",
+            max(col("pos") + 10).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("pos") > coalesce(col("prev_end"), lit(-1L)), 1).otherwise(0))
+          .withColumn("island",
+            sum(col("new_island")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + 9).as("e"), max(col("nw")).as("nw"))
+        spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("e") - col("s") + 1).as("removed"), max(col("nw")).as("nw"))
+          .agg(count(lit(1)).as("n_docs_affected"),
+            sum(col("n_spans")).cast("long").as("n_spans"),
+            sum(col("removed")).cast("long").as("removed_tokens"),
+            sum(col("nw") - col("removed")).cast("long").as("surviving_tokens"))
+      },
+      Some(
+        "WITH w AS (SELECT doc_id, string_split(text,' ') AS wrd FROM " + dupCorpusSql + "), " +
+          "win AS (SELECT doc_id, i AS pos, doc_id * 1000000 + i AS ord, " +
+          "array_to_string(wrd[i:i+9], ' ') AS g, len(wrd) AS nw " +
+          "FROM w, unnest(generate_series(1, len(wrd)-9)) AS t(i) WHERE len(wrd) >= 10), " +
+          "f AS (SELECT g, min(ord) AS first_ord FROM win GROUP BY 1), " +
+          "dups AS (SELECT win.doc_id, win.pos, win.nw FROM win JOIN f ON win.g = f.g WHERE win.ord > f.first_ord), " +
+          "isl AS (SELECT doc_id, pos, nw, " +
+          "CASE WHEN pos > coalesce(max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island FROM dups), " +
+          "grp AS (SELECT doc_id, pos, nw, sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM isl), " +
+          "spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e, max(nw) AS nw FROM grp GROUP BY 1, 2), " +
+          "per_doc AS (SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS removed, max(nw) AS nw FROM spans GROUP BY 1) " +
+          "SELECT count(*) AS n_docs_affected, " +
+          "CAST(sum(n_spans) AS BIGINT) AS n_spans, " +
+          "CAST(sum(removed) AS BIGINT) AS removed_tokens, " +
+          "CAST(sum(nw - removed) AS BIGINT) AS surviving_tokens FROM per_doc")),
+
+    // Host-graph PageRank (the crawl-prioritization signal CC publishes
+    // as its host-level ranks): a planted ASYMMETRIC host graph (the
+    // quadratic residue map src² + 3·parity mod 7 — deliberately
+    // non-invertible so in-degrees differ), 3 power iterations at
+    // damping 0.85 UNROLLED with integer ppm arithmetic — both engines
+    // run the identical integer ops, so ranks are bit-exact, no float
+    // convergence drift. Scale shape: each iteration is one edge⋈rank
+    // hash join + hash agg (ranks and degrees are host-cardinality
+    // tables); a production run iterates to a fixpoint with periodic
+    // checkpoints exactly like Dedup.connectedComponents — the unroll
+    // here is what makes the oracle expressible.
+    Q("q89_host_rank",
+      (s, dir) => {
+        val a = pmod(col("doc_id"), lit(7))
+        val dstN = pmod(a * a + pmod(col("doc_id"), lit(2)) * 3, lit(7))
+        val edges = t(s, dir, "documents")
+          .select(concat(lit("site"), a.cast("string")).as("src"),
+            concat(lit("site"), dstN.cast("string")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val hosts = edges.select(col("src").as("host"))
+          .union(edges.select(col("dst").as("host"))).distinct()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        var r = hosts.select(col("host"), lit(1000000L).as("r"))
+        (1 to 3).foreach { _ =>
+          val contrib = edges
+            .join(deg, "src")
+            .join(r.withColumnRenamed("host", "src"), "src")
+            .select(col("dst").as("host"), expr("r div outdeg").as("c"))
+            .groupBy(col("host")).agg(sum(col("c")).as("contrib"))
+          r = hosts.join(contrib, Seq("host"), "left")
+            .select(col("host"),
+              (lit(150000L) + expr("(850 * coalesce(contrib, 0L)) div 1000")).as("r"))
+        }
+        r.select(col("host"), col("r").cast("long").as("rank_ppm")).orderBy(col("host"))
+      },
+      Some {
+        val pre =
+          "WITH edges AS (SELECT DISTINCT 'site' || (doc_id % 7)::VARCHAR AS src, " +
+            "'site' || (((doc_id % 7) * (doc_id % 7) + (doc_id % 2) * 3) % 7)::VARCHAR AS dst " +
+            "FROM documents WHERE (doc_id % 7) <> (((doc_id % 7) * (doc_id % 7) + (doc_id % 2) * 3) % 7)), " +
+            "hosts AS (SELECT DISTINCT src AS host FROM edges UNION SELECT DISTINCT dst FROM edges), " +
+            "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1), " +
+            "r0 AS (SELECT host, 1000000::BIGINT AS r FROM hosts), "
+        def iter(prev: Int, n: Int): String =
+          s"r$n AS (SELECT h.host, 150000 + (850 * coalesce(c.contrib, 0)) // 1000 AS r FROM hosts h LEFT JOIN " +
+            s"(SELECT e.dst AS host, sum(r$prev.r // d.outdeg) AS contrib FROM edges e " +
+            s"JOIN r$prev ON r$prev.host = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.host = h.host), "
+        (pre + iter(0, 1) + iter(1, 2) + iter(2, 3)).stripSuffix(", ") +
+          " SELECT host, CAST(r AS BIGINT) AS rank_ppm FROM r3 ORDER BY host"
+      }))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

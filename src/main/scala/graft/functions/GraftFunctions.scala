@@ -59,6 +59,19 @@ object GraftFunctions {
       graft.functions.SitemapRow(e.loc, e.lastmod.getOrElse(""),
         e.priority.getOrElse(-1.0))))
 
+  /** Outgoing links over raw page bytes (charset-sniffed decode → one
+    * tokenizer pass): absolute targets (<base href>-aware RFC 3986
+    * resolution), flattened anchor text, rel=nofollow flag — the input
+    * to frontier expansion, host ranking (q89's edge shape), and
+    * anchor-text indexing. See [[graft.core.html.LinkExtractor]].
+    */
+  val outlinks = udf((html: Array[Byte], pageUrl: String) =>
+    if (html == null) Seq.empty[graft.functions.OutLinkRow]
+    else graft.core.html.LinkExtractor.extract(
+      graft.core.html.CharsetSniffer.decode(html),
+      if (pageUrl == null) "" else pageUrl)
+      .map(l => graft.functions.OutLinkRow(l.target, l.anchor, l.nofollow)))
+
   /** PII redaction as a codegen'd projection (q75, CuratedPipeline
     * `scrubPii`): emails → `<EMAIL>`, dotted quads → `<IP>`, phone shapes →
     * `<PHONE>`, in that fixed order, with per-type match counts. The
@@ -247,3 +260,8 @@ object IncrementalMean extends Aggregator[Double, (Double, Long), Double] {
   * construction; see [[GraftFunctions.sitemapEntries]]).
   */
 final case class SitemapRow(loc: String, lastmod: String, priority: Double)
+
+/** Top-level for the same encoder reason as [[SitemapRow]] — one outlink
+  * of [[GraftFunctions.outlinks]].
+  */
+final case class OutLinkRow(target: String, anchor: String, nofollow: Boolean)
