@@ -1979,7 +1979,52 @@ object Queries {
             s"JOIN r$prev ON r$prev.host = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.host = h.host), "
         (pre + iter(0, 1) + iter(1, 2) + iter(2, 3)).stripSuffix(", ") +
           " SELECT host, CAST(r AS BIGINT) AS rank_ppm FROM r3 ORDER BY host"
-      }))
+      }),
+
+    // Anchor-text index (the link-graph signal search and quality
+    // pipelines aggregate): per-doc planted HTML runs through the REAL
+    // LinkExtractor (resolution + nofollow exclusion + anchor
+    // flattening in the loop), DuckDB derives the same rows from the
+    // planted truth arithmetically — so a green row proves the
+    // extractor returns exactly what was planted, including dropping
+    // the nofollow'd link every even doc carries. Scale: per-row
+    // flatMap → hash agg on target, one shuffle.
+    Q("q90_anchor_index",
+      (s, dir) => {
+        val did = col("doc_id")
+        val html = concat(
+          lit("<p><a href=\"https://t"), pmod(did, lit(5)).cast("string"),
+          lit(".com/x\">term"), pmod(did, lit(3)).cast("string"), lit(" common</a>"),
+          when(pmod(did, lit(2)) === 0,
+            lit("<a rel=\"nofollow\" href=\"https://t9.com/y\">spam link</a>"))
+            .otherwise(lit("")),
+          lit("</p>"))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.outlinks(
+              encode(html, "UTF-8"), concat(lit("https://src"), did.cast("string"), lit(".com/p")))).as("l"))
+          .filter(!col("l.nofollow")) // the anchor-index rule: no endorsement, no signal
+          .select(col("doc_id"), col("l.target").as("target"),
+            explode(split(col("l.anchor"), " ")).as("term"))
+          .groupBy(col("target"))
+          .agg(expr("count(*) div 2").as("n_links"),
+            count(lit(1)).as("n_anchor_terms"),
+            countDistinct(col("term")).as("n_distinct_terms"),
+            sum(length(col("term"))).cast("long").as("term_chars"),
+            // integer div, not /: a float half-sum would round vs truncate
+            // differently across engines
+            expr("sum(doc_id) div 2").as("link_id_sum"))
+          .orderBy(col("target"))
+      },
+      Some(
+        "WITH links AS (SELECT doc_id, 'https://t' || (doc_id % 5)::VARCHAR || '.com/x' AS target, " +
+          "['term' || (doc_id % 3)::VARCHAR, 'common'] AS terms FROM documents), " +
+          "t AS (SELECT doc_id, target, unnest(terms) AS term FROM links) " +
+          "SELECT target, CAST(count(*) // 2 AS BIGINT) AS n_links, " +
+          "count(*) AS n_anchor_terms, count(DISTINCT term) AS n_distinct_terms, " +
+          "CAST(sum(len(term)) AS BIGINT) AS term_chars, " +
+          "CAST(sum(doc_id) // 2 AS BIGINT) AS link_id_sum " +
+          "FROM t GROUP BY target ORDER BY target")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 
