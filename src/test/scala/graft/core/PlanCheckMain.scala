@@ -44,7 +44,12 @@ object PlanCheckMain {
         p => !p.split("== Initial Plan ==").head.contains("Join")),
       // robots decisions are per-row parse+match — join-free by design
       "q83_robots_decision" -> ("robots decision join-free",
-        p => !p.split("== Initial Plan ==").head.contains("Join")))
+        p => !p.split("== Initial Plan ==").head.contains("Join")),
+      // substring dedup: per-doc windows only — a single-partition window
+      // (or a cartesian) would serialize the corpus
+      "q87_substring_dedup" -> ("no cartesian, no global window",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Exchange SinglePartition\n   +- Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

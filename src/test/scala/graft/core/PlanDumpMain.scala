@@ -45,7 +45,11 @@ object PlanDumpMain {
       "q80_lm_quality" -> ("LM quality: model and cutoffs broadcast, sort bounded to the sample",
         "The bigram LM is vocab-sized and broadcast into the corpus-side left join; per-doc scores partial-aggregate before their one shuffle. The only global sort (ntile) runs over the 5% SAMPLE that derives the two cutoffs — the corpus itself is bucketed by a constant-threshold projection through a 1-row broadcast, exactly how CCNet applies sample-derived perplexity thresholds as constants."),
       "q83_robots_decision" -> ("Robots decision is a join-free projection",
-        "Parse + longest-match-precedence run per row inside one projection; the plan has no join and no shuffle before the per-host aggregate. In a real crawl the rules table is per-host and tiny — either way the corpus side is never reshuffled for consent checks."))
+        "Parse + longest-match-precedence run per row inside one projection; the plan has no join and no shuffle before the per-host aggregate. In a real crawl the rules table is per-host and tiny — either way the corpus side is never reshuffled for consent checks."),
+      "q87_substring_dedup" -> ("Exact substring dedup: content-keyed shuffle + per-doc windows",
+        "The ExactSubstr formulation that distributes: duplicated-window anchors come from one hash agg + join on window content (the same shape as exact dedup), then span merging is islands-and-gaps inside PER-DOC windows — partitioned by doc_id, never global. A suffix array would be a single-machine structure; this plan's widest operation is the content-keyed exchange."),
+      "q89_host_rank" -> ("PageRank iterations: host-cardinality joins only",
+        "Each unrolled iteration joins the edge list against the rank and degree tables — all host-cardinality — and hash-aggregates contributions by destination. The corpus appears once (edge derivation); iterations never touch it again. At web scale the rank table is ~10^9 rows against ~10^12 docs — the iteration cost is decoupled from corpus size."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
