@@ -608,45 +608,14 @@ object Queries {
       out
     })
 
-  /** Per-doc Gopher pass flag in DuckDB — q69's rule formulas factored so
-    * q78 can gate an arbitrary `(doc_id, text, n_chars)` source subquery
-    * with the exact same semantics q69 oracles.
-    */
-  private def gopherGatedSql(src: String): String =
-    "(SELECT doc_id, text, n_chars FROM (SELECT doc_id, text, n_chars, " +
-      "CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END * " +
-      "CASE WHEN wc > 0 AND twl/wc >= 3.0 AND twl/wc <= 10.0 THEN 1 ELSE 0 END * " +
-      "CASE WHEN wc > 0 AND (hashes + ellipses)/wc <= 0.1 THEN 1 ELSE 0 END * " +
-      "CASE WHEN nl > 0 AND bl/nl <= 0.9 THEN 1 ELSE 0 END * " +
-      "CASE WHEN nl > 0 AND el/nl <= 0.3 THEN 1 ELSE 0 END * " +
-      "CASE WHEN wc > 0 AND aw/wc >= 0.8 THEN 1 ELSE 0 END * " +
-      "CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS pass " +
-      "FROM (SELECT doc_id, text, n_chars, len(wrd)::DOUBLE AS wc, " +
-      "list_sum(list_transform(wrd, x -> len(x)))::DOUBLE AS twl, " +
-      "(len(text) - len(replace(text,'#','')))::DOUBLE AS hashes, " +
-      "((len(text) - len(replace(text,'...','')))/3)::DOUBLE AS ellipses, " +
-      "len(lns)::DOUBLE AS nl, " +
-      "len(list_filter(lns, l -> starts_with(l,'•') OR starts_with(l,'- ') OR starts_with(l,'* ')))::DOUBLE AS bl, " +
-      "len(list_filter(lns, l -> ends_with(l,'...')))::DOUBLE AS el, " +
-      "len(list_filter(wrd, x -> regexp_matches(x,'[A-Za-z]')))::DOUBLE AS aw, " +
-      "(CASE WHEN position(' the ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' be ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' to ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' of ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' and ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' that ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' have ' IN lw) > 0 THEN 1 ELSE 0 END) + " +
-      "(CASE WHEN position(' with ' IN lw) > 0 THEN 1 ELSE 0 END) AS stops " +
-      s"FROM (SELECT doc_id, text, n_chars, string_split(text, ' ') AS wrd, " +
-      s"string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM $src))) " +
-      "WHERE pass = 1)"
-
   /** Per-doc Gopher PASS FLAG (0/1) in DuckDB over a `(doc_id, $extra,
-    * text)` source — q69's formulas again, but keeping every row and one
-    * extra passthrough column, for per-group gate-rate aggregation (q81).
+    * text)` source — q69's rule formulas, factored ONCE: every row kept,
+    * `text` and the `$extra` columns passed through, so both the gating
+    * form (q78 via [[gopherGatedSql]]) and the per-group gate-rate form
+    * (q81) share the single copy of the thresholds.
     */
   private def gopherPassSql(src: String, extra: String): String =
-    s"(SELECT doc_id, $extra, " +
+    s"(SELECT doc_id, $extra, text, " +
       "CASE WHEN wc >= 50 AND wc <= 100000 THEN 1 ELSE 0 END * " +
       "CASE WHEN wc > 0 AND twl/wc >= 3.0 AND twl/wc <= 10.0 THEN 1 ELSE 0 END * " +
       "CASE WHEN wc > 0 AND (hashes + ellipses)/wc <= 0.1 THEN 1 ELSE 0 END * " +
@@ -654,7 +623,7 @@ object Queries {
       "CASE WHEN nl > 0 AND el/nl <= 0.3 THEN 1 ELSE 0 END * " +
       "CASE WHEN wc > 0 AND aw/wc >= 0.8 THEN 1 ELSE 0 END * " +
       "CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS pass " +
-      s"FROM (SELECT doc_id, $extra, len(wrd)::DOUBLE AS wc, " +
+      s"FROM (SELECT doc_id, $extra, text, len(wrd)::DOUBLE AS wc, " +
       "list_sum(list_transform(wrd, x -> len(x)))::DOUBLE AS twl, " +
       "(len(text) - len(replace(text,'#','')))::DOUBLE AS hashes, " +
       "((len(text) - len(replace(text,'...','')))/3)::DOUBLE AS ellipses, " +
@@ -672,6 +641,13 @@ object Queries {
       "(CASE WHEN position(' with ' IN lw) > 0 THEN 1 ELSE 0 END) AS stops " +
       s"FROM (SELECT doc_id, $extra, text, string_split(text, ' ') AS wrd, " +
       s"string_split(text, chr(10)) AS lns, ' ' || lower(text) || ' ' AS lw FROM $src)))"
+
+  /** The gating form: pass-only rows of a `(doc_id, text, n_chars)`
+    * source — [[gopherPassSql]] filtered, so q78's gate and q69/q81's
+    * rule formulas can never diverge.
+    */
+  private def gopherGatedSql(src: String): String =
+    s"(SELECT doc_id, text, n_chars FROM ${gopherPassSql(src, "n_chars")} WHERE pass = 1)"
 
   /** The q44/q46 oracle prefix: full transitive closure over the clique
     * edges via a recursive CTE (reachability is identical over clique and
@@ -1781,11 +1757,10 @@ object Queries {
         val committed = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0).select("url")
         val batch = docs.select(col("doc_id"), col("url"))
         val bf = committed.stat.bloomFilter("url", 100000L, 0.01)
-        val bfBc = s.sparkContext.broadcast(bf)
-        val might = udf((u: String) => bfBc.value.mightContainString(u))
-        val definiteNew = batch.filter(!might(col("url")))
-        val confirmedNew = batch.filter(might(col("url")))
-          .join(committed, Seq("url"), "left_anti")
+        // the REAL routing helper in the oracled loop, not a re-implementation
+        val (definiteNew, maybeSeen) =
+          graft.pipeline.SeenUrls.splitByFilter(s, bf, batch)
+        val confirmedNew = maybeSeen.join(committed, Seq("url"), "left_anti")
         definiteNew.unionByName(confirmedNew).agg(
           count(lit(1)).as("n_new"),
           sum(col("doc_id")).cast("long").as("new_id_sum"))

@@ -25,19 +25,25 @@ final case class RobotRule(allow: Boolean, pattern: String)
   */
 object RobotsTxt {
 
-  /** Rules of the group governing `agent` (lowercased product-token
-    * match; longest wins; `*` group is the fallback).
+  /** Rules governing `agent` (lowercased product-token match; the
+    * longest-matching token level wins; `*` groups are the fallback).
+    * RFC 9309 §2.2.1: when MORE THAN ONE group matches at that level —
+    * the same agent named twice in the file is a common real-world
+    * pattern — their rules MUST be combined, not first-group-wins.
     */
   def parse(txt: String, agent: String = "*"): Vector[RobotRule] = {
     val groups = parseGroups(txt)
     if (groups.isEmpty) return Vector.empty
     val a = agent.toLowerCase(java.util.Locale.ROOT)
-    val candidates = groups.filter(g => g.agents.exists(ua => ua != "*" && ua.nonEmpty && a.contains(ua)))
-    val best =
-      if (candidates.nonEmpty)
-        Some(candidates.maxBy(g => g.agents.filter(ua => ua != "*" && ua.nonEmpty && a.contains(ua)).map(_.length).max))
-      else groups.find(_.agents.contains("*"))
-    best.map(_.rules).getOrElse(Vector.empty)
+    def bestTokenLen(g: Group): Int =
+      g.agents.iterator
+        .filter(ua => ua != "*" && ua.nonEmpty && a.contains(ua))
+        .map(_.length).foldLeft(0)(_ max _)
+    val maxLen = groups.map(bestTokenLen).max
+    val matching =
+      if (maxLen > 0) groups.filter(bestTokenLen(_) == maxLen)
+      else groups.filter(_.agents.contains("*"))
+    matching.flatMap(_.rules)
   }
 
   /** `Sitemap:` URLs anywhere in the file (they are group-independent). */

@@ -128,6 +128,12 @@ object CdxIndex {
       it.flatMap { pathStr =>
         val path = new Path(pathStr)
         val in = path.getFileSystem(confBc.value.value).open(path)
+        // the stream must close even when the iterator is abandoned
+        // (downstream limit/take) or a record throws mid-segment — the
+        // task-completion listener is the only hook that covers both
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case scala.util.control.NonFatal(_) => () }))
         val ms = GzipMembers.members(in).flatMap { m =>
           WarcReader.records(new java.io.ByteArrayInputStream(m.bytes))
             .take(1) // one record per member in the CC layout
@@ -137,7 +143,7 @@ object CdxIndex {
                 m.offset, m.compressedLength, pathStr)
             }
         }
-        closeWhenDone(ms, in)
+        closeWhenDone(ms, in) // prompt close on the normal drained path
       }
     }
   }
@@ -220,8 +226,12 @@ object CdxIndex {
       idxDir: String, gen: Int, shards: Int): Seq[(String, String, Long)] = {
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+    // range-partition on urlkey ALONE: equal keys then land in one shard
+    // by construction, so a multi-capture url (same key, many ts) can
+    // never straddle a shard boundary and hide its older captures from
+    // the one-shard-per-generation lookup
     val sorted = es
-      .repartitionByRange(shards, col("urlkey"), col("ts"), col("url"))
+      .repartitionByRange(shards, col("urlkey"))
       .sortWithinPartitions(col("urlkey"), col("ts"), col("url"))
     sorted.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
@@ -257,6 +267,11 @@ object CdxIndex {
   private[pipeline] def clusterState(spark: SparkSession, idxDir: String): ClusterState = {
     val path = new Path(s"$idxDir/cluster.idx")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: a complete tmp with no live cluster file means a
+    // commit died between write and rename — finish it (the tmp is only
+    // ever written whole+closed before the cutover)
+    val tmp = new Path(s"$idxDir/cluster.idx.tmp")
+    if (!fs.exists(path) && fs.exists(tmp)) fs.rename(tmp, path)
     if (!fs.exists(path)) return ClusterState(Seq.empty, Seq.empty)
     val in = fs.open(path)
     val lines =
@@ -269,13 +284,18 @@ object CdxIndex {
     ClusterState(segments, shards)
   }
 
-  /** Atomic cluster.idx rewrite (tmp + rename): shard map + the
-    * indexed-segment list in ONE file, so crash recovery never sees a
-    * shard map that disagrees with the segment memory.
+  /** Atomic cluster.idx rewrite: shard map + the indexed-segment list in
+    * ONE file, so crash recovery never sees a shard map that disagrees
+    * with the segment memory. The cutover is an OVERWRITE rename
+    * (FileContext — atomic on HDFS and posix local fs, no delete window);
+    * where FileContext is unavailable the delete+rename fallback is
+    * covered by [[clusterState]]'s tmp-recovery, so a crash between the
+    * two steps still resolves to the NEW state, never to no state.
     */
   private def commitCluster(spark: SparkSession, idxDir: String,
       segments: Seq[String], shards: Seq[(String, String, Long)]): Unit = {
-    val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(idxDir).getFileSystem(conf)
     val tmp = new Path(s"$idxDir/cluster.idx.tmp")
     val out = fs.create(tmp, true)
     val body =
@@ -283,9 +303,16 @@ object CdxIndex {
         shards.sortBy(_._1).map { case (k, f, n) => s"$k\t$f\t$n" }
     try out.write(body.mkString("", "\n", "\n").getBytes(UTF_8)) finally out.close()
     val dst = new Path(s"$idxDir/cluster.idx")
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"cluster.idx commit failed in $idxDir")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri, conf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        fs.delete(dst, false)
+        if (!fs.rename(tmp, dst) && !fs.exists(dst))
+          throw new java.io.IOException(s"cluster.idx commit failed in $idxDir")
+    }
   }
 
   private def jsonEsc(s: String): String =
@@ -346,9 +373,17 @@ object CdxIndex {
     if (state.shards.isEmpty) return spark.emptyDataFrame
     val owners = state.shards.groupBy(s => genOf(s._2)).values.toSeq.flatMap { gen =>
       val sorted = gen.sortBy(_._1)
-      // the owner is the last shard whose firstKey <= key; a key below
-      // every firstKey can only live in the generation's first shard
-      sorted.reverse.find(_._1 <= key).orElse(sorted.headOption).map(_._2)
+      // owner = last shard whose firstKey <= key (key below every firstKey
+      // → the generation's first shard); PLUS any following shards whose
+      // firstKey == key — our writer co-locates equal keys, but a foreign
+      // index may straddle a multi-capture url across a shard boundary
+      val ownerIdx = sorted.lastIndexWhere(_._1 <= key) match {
+        case -1 => 0
+        case i  => i
+      }
+      sorted.zipWithIndex.collect {
+        case ((first, file, _), i) if i == ownerIdx || (i > ownerIdx && first == key) => file
+      }
     }
     parseLines(spark.read.text(owners.map(o => s"$idxDir/$o"): _*))
       .filter(col("urlkey") === key)
@@ -372,11 +407,15 @@ object CdxIndex {
   private def closeWhenDone[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
     new Iterator[T] {
       private var closed = false
+      private def closeQuietly(): Unit =
+        if (!closed) { closed = true
+          try in.close() catch { case scala.util.control.NonFatal(_) => () } }
       def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h && !closed) { closed = true; in.close() }
+        val h = try it.hasNext catch { case e: Throwable => closeQuietly(); throw e }
+        if (!h) closeQuietly()
         h
       }
-      def next(): T = it.next()
+      def next(): T =
+        try it.next() catch { case e: Throwable => closeQuietly(); throw e }
     }
 }

@@ -41,18 +41,25 @@ object CrawlPlanner {
       .select(col("host"), col("robots_txt"),
         explode(GraftFunctions.sitemapEntries(col("sitemap_xml"))).as("e"))
       .select(col("host"), col("robots_txt"), col("e.loc").as("url"))
-    val nDiscovered = discovered.count()
 
-    // consent: path-part of the url against the host's robots rules
+    // consent: path-part of the url against the host's robots rules.
+    // Persisted: every stat and the downstream stages read this frame,
+    // and without the pin each action would re-run sitemap parse +
+    // robots decisions from the scan (the corpus-sized seen-set work
+    // would rerun too, via `fresh` below).
     val path = regexp_replace(col("url"), "^[a-z][a-z0-9+.-]*://[^/]*", "")
     val consented = discovered
       .withColumn("__path", when(length(path) === 0, "/").otherwise(path))
       .withColumn("__allowed", GraftFunctions.robotsAllowed(col("robots_txt"), col("__path")))
+      .persist()
+    val nDiscovered = consented.count()
     val allowed = consented.filter(col("__allowed")).select(col("host"), col("url"))
-    val nBlocked = nDiscovered - allowed.count()
+    val nAllowed = allowed.count()
 
-    // novelty: Bloom-routed frontier check against the committed corpus
-    val fresh = SeenUrls.filterNew(spark, corpusDir, allowed)
+    // novelty: Bloom-routed frontier check against the committed corpus —
+    // the only corpus-sized stage; persisted so the schedule and the
+    // stats pay it once
+    val fresh = SeenUrls.filterNew(spark, corpusDir, allowed).persist()
     val nFresh = fresh.count()
 
     // politeness: rank within host (url tie-break = determinism), cap
@@ -63,8 +70,9 @@ object CrawlPlanner {
       .withColumn("wave", expr(s"(__rn - 1) div $perWave"))
       .drop("__rn")
     val maxWaves = planned.agg(coalesce(max(col("wave")), lit(-1L))).head().getLong(0) + 1
+    consented.unpersist()
 
-    (planned, PlanStats(nDiscovered, nBlocked,
-      allowed.count() - nFresh, nFresh, maxWaves))
+    (planned, PlanStats(nDiscovered, nDiscovered - nAllowed,
+      nAllowed - nFresh, nFresh, maxWaves))
   }
 }

@@ -212,8 +212,11 @@ object ExtractPipeline {
         else None
       }
     val dir = Paths.get(outDir, "_manifest")
-    val all = parse(dir.resolve("manifest_archive.jsonl")) ++
-      parse(dir.resolve("manifest.jsonl")).filterNot(_._1 == "compact")
+    // the "compact" marker is filtered from BOTH sources: a second
+    // compaction archives the first compaction's marker line, which must
+    // not surface as a phantom snapshot in the history
+    val all = (parse(dir.resolve("manifest_archive.jsonl")) ++
+      parse(dir.resolve("manifest.jsonl"))).filterNot(_._1 == "compact")
     // archive + live manifest can briefly overlap right after compaction;
     // keep first occurrence, preserving commit order
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Set[Int]]

@@ -42,6 +42,11 @@ object WarcSource {
       it.flatMap { pathStr =>
         val path = new Path(pathStr)
         val in = path.getFileSystem(confBc.value.value).open(path)
+        // covers abandoned iterators (downstream limit) and mid-segment
+        // throws — closeWhenDone alone only closes the drained path
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case scala.util.control.NonFatal(_) => () }))
         val recs = WarcReader.records(in)
           .filter(r => r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
           .map(r => Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))
@@ -82,18 +87,22 @@ object WarcSource {
     try java.sql.Timestamp.from(java.time.Instant.parse(s))
     catch { case scala.util.control.NonFatal(_) => new java.sql.Timestamp(0L) }
 
-  /** Close the stream when the record iterator is exhausted (tasks iterate
-    * to completion or fail the whole task — either way no leak outlives
-    * the JVM's task; this closes promptly in the normal path).
+  /** Close the stream when the record iterator is exhausted OR throws;
+    * the task-completion listener registered at open covers the
+    * abandoned-iterator case (downstream limit/take).
     */
   private def closeWhenDone[T](it: Iterator[T], in: java.io.Closeable): Iterator[T] =
     new Iterator[T] {
       private var closed = false
+      private def closeQuietly(): Unit =
+        if (!closed) { closed = true
+          try in.close() catch { case scala.util.control.NonFatal(_) => () } }
       def hasNext: Boolean = {
-        val h = it.hasNext
-        if (!h && !closed) { closed = true; in.close() }
+        val h = try it.hasNext catch { case e: Throwable => closeQuietly(); throw e }
+        if (!h) closeQuietly()
         h
       }
-      def next(): T = it.next()
+      def next(): T =
+        try it.next() catch { case e: Throwable => closeQuietly(); throw e }
     }
 }

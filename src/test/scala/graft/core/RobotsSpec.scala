@@ -50,6 +50,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(!RobotsTxt.allowed(shared, "/x/1", agent = "b"))
   }
 
+  test("RFC 9309 §2.2.1: multiple groups matching the same agent COMBINE") {
+    // the same agent named twice — both rule sets apply, not first-wins
+    val twice =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |
+        |User-agent: otherbot
+        |Disallow: /
+        |
+        |User-agent: graftbot
+        |Disallow: /b/
+        |""".stripMargin
+    assert(!RobotsTxt.allowed(twice, "/a/1", agent = "graftbot"))
+    assert(!RobotsTxt.allowed(twice, "/b/1", agent = "graftbot"), "second group's rules must also apply")
+    assert(RobotsTxt.allowed(twice, "/c/1", agent = "graftbot"))
+    // two * groups combine for an unmatched agent the same way
+    val starTwice = "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/"
+    assert(!RobotsTxt.allowed(starTwice, "/a/1", agent = "somebot"))
+    assert(!RobotsTxt.allowed(starTwice, "/b/1", agent = "somebot"))
+  }
+
   test("wildcard and end-anchor patterns (§2.2.3)") {
     assert(RobotsTxt.matches("/a/*/c", "/a/b/c"))
     assert(RobotsTxt.matches("/a/*/c", "/a/bbb/cxx")) // prefix semantics: match continues

@@ -148,6 +148,31 @@ class CdxSpec extends AnyFunSuite {
     assert(CdxIndex.lookup(spark, idxDir, "https://never.crawled.example/nope").count() == 0)
   }
 
+  test("multi-capture url: both captures indexed, co-located, returned by lookup") {
+    import spark.implicits._
+    val warcDir = Files.createTempDirectory("graft-cdx-recap").toString
+    val idxDir = Files.createTempDirectory("graft-cdx-recap-idx").toString
+    // 60 distinct urls, plus url 5 captured a SECOND time (new ts, new body)
+    val base = spark.range(0L, 60L, 1L, 2).map(i => PageGen.page(PageGen.DefaultSeed, i))
+    val p5 = PageGen.page(PageGen.DefaultSeed, 5L)
+    val recrawl = "<html><body>recrawl body</body></html>".getBytes("UTF-8")
+    val recap = Seq(Page(p5.url,
+      java.sql.Timestamp.valueOf("2025-07-01 00:00:00"), recrawl, "", "")).toDS()
+    WarcWriter.write(spark, base.union(recap), warcDir)
+    assert(CdxIndex.build(spark, s"$warcDir/part-*", idxDir, shards = 4) == 61L)
+
+    // equal urlkeys co-locate (range partitioning is on urlkey alone), so
+    // the one-shard-per-generation lookup sees BOTH captures
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hits = CdxIndex.lookup(spark, idxDir, p5.url)
+      .select($"ts", $"filename", $"offset", $"length").collect()
+    assert(hits.length == 2, s"expected both captures, got ${hits.length}")
+    assert(hits.map(_.getString(0)).distinct.length == 2, "distinct timestamps")
+    val bodies = hits.map(r =>
+      CdxIndex.fetch(conf, r.getString(1), r.getLong(2), r.getLong(3)).get.body.toSeq).toSet
+    assert(bodies == Set(p5.html.toSeq, recrawl.toSeq))
+  }
+
   test("incremental append: new generation only, idempotent, compaction folds") {
     import spark.implicits._
     val warcDir = Files.createTempDirectory("graft-cdx-inc").toString

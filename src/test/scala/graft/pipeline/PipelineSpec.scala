@@ -412,5 +412,17 @@ class PipelineSpec extends AnyFunSuite {
     val got0 = ExtractPipeline.readAsOf(spark, out, hist.head._1)
       .select($"url", $"part_bucket").as[(String, Int)].collect().toSet
     assert(got0 == full.filter(r => hist.head._2(r._2)))
+
+    // a SECOND compaction archives the first compaction's marker line —
+    // it must not surface as a phantom snapshot in the history
+    ExtractPipeline.appendManifest(out, "tt2", "snap-tt2-000", Seq(0),
+      Seq(LineageRow("tt2", "snap-tt2-000", 0, 1, 1, 0, 1, 1, "committed")))
+    assert(ExtractPipeline.compactManifest(out) == 2)
+    val hist3 = ExtractPipeline.snapshotHistory(out)
+    assert(hist3.map(_._1) == hist.map(_._1) :+ "snap-tt2-000",
+      s"phantom snapshot in $hist3")
+    intercept[IllegalArgumentException] {
+      ExtractPipeline.readAsOf(spark, out, "compact")
+    }
   }
 }
