@@ -26,7 +26,34 @@ object WarcSource {
     * `text`/`lang` stay empty — they are extraction OUTPUTS here, not
     * crawl inputs.
     */
-  def readPages(spark: SparkSession, glob: String, onlyHttpOk: Boolean = true): Dataset[Page] = {
+  def readPages(spark: SparkSession, glob: String, onlyHttpOk: Boolean = true): Dataset[Page] =
+    readViaTasks(spark, glob) { r =>
+      if (r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
+        Some(Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))
+      else None
+    }
+
+  /** WET ingestion — the other half of the CC interchange: `conversion`
+    * records (precomputed extracted text, [[WetExport]]'s output or CC's
+    * own .wet.gz files) become Pages with an EMPTY payload and the text
+    * in the `text` column, so the S4 fallback path flows them through
+    * the SAME pipeline (extract of an empty payload falls back to
+    * `text`) — a WET consumer and an HTML crawler share every operator
+    * downstream of the source.
+    */
+  def readWetPages(spark: SparkSession, glob: String): Dataset[Page] =
+    readViaTasks(spark, glob) { r =>
+      if (r.warcType == "conversion")
+        Some(Page(r.targetUri, parseWarcDate(r.date), Array.empty[Byte],
+          new String(r.body, java.nio.charset.StandardCharsets.UTF_8), ""))
+      else None
+    }
+
+  /** One streaming task per matched segment file, O(record) memory —
+    * shared by the response (WARC) and conversion (WET) readers.
+    */
+  private def readViaTasks(spark: SparkSession, glob: String)(
+      convert: graft.core.warc.WarcRecord => Option[Page]): Dataset[Page] = {
     import spark.implicits._
     val p = new Path(glob)
     // session Hadoop conf, not `new Configuration()`: the driver listing and
@@ -47,9 +74,7 @@ object WarcSource {
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ =>
             try in.close() catch { case scala.util.control.NonFatal(_) => () }))
-        val recs = WarcReader.records(in)
-          .filter(r => r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
-          .map(r => Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))
+        val recs = WarcReader.records(in).flatMap(convert(_))
         closeWhenDone(recs, in)
       }
     }

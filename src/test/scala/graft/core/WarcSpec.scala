@@ -135,6 +135,18 @@ class WarcSpec extends AnyFunSuite {
       // conversion records carry no HTTP message: status stays -1
       val one = WarcReader.records(new java.io.FileInputStream(files.head)).next()
       assert(one.warcType == "conversion" && one.httpStatus == -1)
+
+      // WET INGESTION: the conversion records come back as empty-payload
+      // Pages whose `text` carries the precomputed extraction, and the
+      // S4 fallback flows them through the SAME extract pipeline — the
+      // re-extracted text must equal the original extraction exactly
+      val wetPages = graft.pipeline.WarcSource.readWetPages(spark, s"$dir/part-*")
+      assert(wetPages.count() == n)
+      val reextracted = graft.pipeline.ExtractStage.run(wetPages)
+        .toDF().selectExpr("url", "extracted_text")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(reextracted == expect,
+        "WET-ingested pages must re-extract to the identical text via the fallback path")
     } finally spark.stop()
   }
 
