@@ -574,6 +574,12 @@ object Queries {
         corpus.filter(pmod(col("doc_id"), lit(10)) =!= 0), out,
         idCol = "doc_id", textCol = "text",
         numBuckets = 16, snapshotGroups = 2, runId = "q74")
+      // fold + vacuum the base build BEFORE the increment, so the oracled
+      // kept set spans a kept-table compaction boundary: the increment's
+      // appends + logical demotions must compose correctly with the
+      // compacted base layout for q74 to stay green (round-4 verdict #1)
+      graft.pipeline.CuratedPipeline.compactKept(s, out, numBuckets = 16)
+      graft.pipeline.CuratedPipeline.vacuumKept(s, out)
       graft.pipeline.CuratedPipeline.curateIncrement(s,
         corpus.filter(pmod(col("doc_id"), lit(10)) === 0), out,
         idCol = "doc_id", textCol = "text",
@@ -1436,7 +1442,7 @@ object Queries {
     // counts (q46's n_kept) but WHICH rows the pipeline kept.
     Q("q62_curated_corpus",
       (s, dir) => {
-        val kept = s.read.parquet(curatedOut(s, dir) + "/data")
+        val kept = graft.pipeline.CuratedPipeline.readKept(s, curatedOut(s, dir), "doc_id")
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_kept_ids"),
           sum(col("n_chars").cast("long")).as("sum_kept_chars"))
@@ -1453,7 +1459,7 @@ object Queries {
     // engine, demotions included
     Q("q74_incremental_curation",
       (s, dir) => {
-        val kept = s.read.parquet(incrCuratedOut(s, dir) + "/data")
+        val kept = graft.pipeline.CuratedPipeline.readKept(s, incrCuratedOut(s, dir), "doc_id")
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_kept_ids"),
           sum(col("n_chars").cast("long")).as("sum_kept_chars"))
@@ -1472,7 +1478,7 @@ object Queries {
     // canonical), and this query proves both engines agree on it.
     Q("q78_gopher_curated",
       (s, dir) => {
-        val kept = s.read.parquet(gopherCuratedOut(s, dir) + "/data")
+        val kept = graft.pipeline.CuratedPipeline.readKept(s, gopherCuratedOut(s, dir), "doc_id")
         kept.agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).as("sum_kept_ids"),
           sum(col("n_chars").cast("long")).as("sum_kept_chars"))

@@ -186,10 +186,14 @@ object CuratedPipeline {
   //      the contraction yields exactly the full-recompute labels: the
   //      contraction preserves reachability, and each contracted vertex
   //      already carries its component's minimum.
-  //   4. the kept corpus updates by delta: new canonicals append; a stored
-  //      canonical whose component label shrank (a new doc bridged it to a
-  //      smaller id) is DEMOTED and its bucket rewritten. Only buckets
-  //      touched by an appended or demoted row are written at all.
+  //   4. the kept corpus updates by delta: new canonicals append under
+  //      their own `curate_inc=<k>` prefix; a stored canonical whose
+  //      component label shrank (a new doc bridged it to a smaller id) is
+  //      DEMOTED — recorded in the tiny `index/demoted/increment=<k>`
+  //      logical-delete table (the Iceberg delete-file discipline), never
+  //      by rewriting its data partition. Readers apply the delete set as
+  //      a broadcast anti-join ([[readKept]]); [[compactKept]] folds the
+  //      accumulated increment prefixes back into one base layout.
   //
   // Work is O(batch + collided components), not O(corpus). Determinism
   // makes `incremental ≡ full recompute` an exact equality
@@ -251,8 +255,16 @@ object CuratedPipeline {
     * fold are INERT — every index consumer (`starEdges` hubs, the
     * increment's probe) already distincts — so a replay simply converges.
     * Single maintenance writer assumed, like every compaction here.
+    *
+    * @param keepLabelVersions how many label versions to retain (≥1;
+    *        default 1 = current only). Labels are corpus-sized, so every
+    *        retained version costs O(corpus ids) — raise this only as far
+    *        back as [[releaseAsOf]] release cuts still need to be
+    *        reproducible.
     */
-  def compactIndex(spark: SparkSession, outDir: String): Unit = {
+  def compactIndex(spark: SparkSession, outDir: String,
+      keepLabelVersions: Int = 1): Unit = {
+    require(keepLabelVersions >= 1, "must retain at least the current labels version")
     val (v, incs) = indexState(outDir)
     require(v >= 1, s"no curated index at $outDir")
     val fs = new org.apache.hadoop.fs.Path(outDir)
@@ -274,7 +286,7 @@ object CuratedPipeline {
           s"${indexBandsDir(outDir)}/increment=$k"), true)
       }
     }
-    (1L until v).foreach { old =>
+    (1L until math.max(1L, v - (keepLabelVersions - 1))).foreach { old =>
       fs.delete(new org.apache.hadoop.fs.Path(indexLabelsDir(outDir, old)), true)
     }
   }
@@ -338,18 +350,25 @@ object CuratedPipeline {
         coalesce(col("new_comp"), storedLabels("comp")).as("comp"))
       .unionByName(newDocLabels.select(col("id"), col("comp"))))
 
-    // 4. kept-set delta. SCALE SHAPE (this is the point of the whole
-    // design): the kept table is partitioned (curate_inc, part_bucket,
-    // warc_day), so a batch's new canonicals land wholesale under their
-    // OWN curate_inc=<k> prefix — zero existing partitions are read or
-    // rewritten for appends. Only partitions that actually CONTAIN a
-    // demoted canonical (rare: a new doc bridged/undercut an old cluster)
-    // are rewritten in place. Per-batch cost is therefore
-    // O(batch + demoted partitions), not O(corpus) — without this, every
-    // batch's appends touch every bucket and the "delta" silently rewrites
-    // the whole corpus (measured: increments cost ≈ a full recompute).
+    // 4. kept-set delta — the Iceberg MERGE-ON-READ shape (this is the
+    // point of the whole design):
+    //   * APPENDS: the kept table is partitioned (curate_inc, part_bucket,
+    //     warc_day), so a batch's new canonicals land wholesale under their
+    //     OWN curate_inc=<k> prefix — zero existing partitions are read or
+    //     rewritten. Per-batch write cost is O(batch), not O(corpus).
+    //   * DEMOTIONS are LOGICAL: a stored canonical whose component label
+    //     shrank (rare: a new doc bridged/undercut an old cluster) is
+    //     recorded in the `index/demoted/increment=<k>` delete table — the
+    //     remap output, KBs per batch — instead of rewriting its data
+    //     partition. [[readKept]] applies the delete set as a broadcast
+    //     anti-join; [[compactKept]] folds the physical layout on the
+    //     maintenance schedule. Besides making the increment's write path
+    //     pure-append, this is what makes the kept table TIME-TRAVELABLE
+    //     ([[readKeptAsOf]]): the rows a past snapshot saw are still on
+    //     disk, excluded only by later delete entries.
     // Idempotence needs no row-level dedup: a replay overwrites exactly
-    // its own curate_inc=<k> partitions plus the same demotion rewrites.
+    // its own curate_inc=<k> data partitions and its own
+    // demoted/increment=<k> delete partition.
     val inc = if (incs.isEmpty) 1L else incs.max + 1L
     val keptNew = newBatch
       .join(newDocLabels.select(col("id").as("__cid"), col("comp").as("__comp")),
@@ -359,81 +378,47 @@ object CuratedPipeline {
       .withColumn("curate_inc", lit(inc.toInt))
       .withColumn("part_bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
       .withColumn("warc_day", to_date(col("warc_ts")))
-    val demotedIds = remap.select(col("old_comp").as("__demoted"))
-
-    val keptTable = readKept(spark, outDir)
-    // partitions holding a demoted doc: (curate_inc, part_bucket) pairs —
-    // a small driver-side list (demotions are the rare path)
-    val demotedParts: Seq[(Int, Int)] = keptTable
-      .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
-      .select(col("curate_inc"), col("part_bucket")).distinct()
-      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
     val newBuckets: Seq[Int] = keptNew.select(col("part_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
     val lineage = scala.collection.mutable.ArrayBuffer.empty[LineageRow]
-    if (newBuckets.nonEmpty || demotedParts.nonEmpty) {
-      val demotedSlice =
-        if (demotedParts.isEmpty) None
-        else {
-          val incVals = demotedParts.map(_._1).distinct.map(Integer.valueOf)
-          val bktVals = demotedParts.map(_._2).distinct.map(Integer.valueOf)
-          // (inc ∈ demotedIncs) × (bucket ∈ demotedBuckets) is a superset of
-          // the demoted partitions; the extras rewrite with identical rows
-          Some(keptTable
-            .filter(col("curate_inc").isin(incVals: _*)
-              && col("part_bucket").isin(bktVals: _*))
-            .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_anti"))
-        }
-      // partitions at risk of becoming empty = those holding a demoted row
-      val before: Set[(Int, Int, String)] =
-        if (demotedParts.isEmpty) Set.empty
-        else keptTable
-          .join(demotedIds, keptTable(idCol) === col("__demoted"), "left_semi")
-          .select(col("curate_inc"), col("part_bucket"), col("warc_day")).distinct()
-          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString)).toSet
-      // checkpoint breaks the read-path/write-path cycle where the demotion
-      // rewrite reads the very partitions it overwrites
-      val rewritten = cp(demotedSlice
-        .map(_.unionByName(keptNew)).getOrElse(keptNew)
-        .repartition(math.max(1, newBuckets.length), col("part_bucket")))
-      rewritten.write.mode(SaveMode.Overwrite)
+    if (newBuckets.nonEmpty) {
+      // checkpoint so the post-write lineage counts reuse the computed
+      // batch instead of re-deriving labels
+      val appended = cp(keptNew.repartition(newBuckets.length, col("part_bucket")))
+      appended.write.mode(SaveMode.Overwrite)
         .partitionBy("curate_inc", "part_bucket", "warc_day")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
         .option("parquet.block.size", (16 * 1024 * 1024).toString)
         .parquet(s"$outDir/data")
-      // dynamic overwrite can't express "this partition is now EMPTY" — a
-      // partition whose every row was demoted keeps its stale files.
-      // Deterministic driver-side delete closes the gap (idempotent).
-      val after = rewritten.select(
-          col("curate_inc"), col("part_bucket"), col("warc_day")).distinct()
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDate(2).toString)).toSet
-      val fs = new org.apache.hadoop.fs.Path(outDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (before -- after).foreach { case (i, b, d) =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$outDir/data/curate_inc=$i/part_bucket=$b/warc_day=$d"), true)
-      }
       val ms = (System.nanoTime() - t0) / 1000000
-      val counts: Map[Int, (Long, Long)] = rewritten.groupBy(col("part_bucket"))
+      val counts: Map[Int, (Long, Long)] = appended.groupBy(col("part_bucket"))
         .agg(count(lit(1)).as("n"), sum(length(col(textCol)).cast("long")).as("bytes"))
         .collect().map(r => r.getInt(0) -> ((r.getLong(1),
           if (r.isNullAt(2)) 0L else r.getLong(2)))).toMap
-      val touched = (newBuckets ++ demotedParts.map(_._2)).distinct.sorted
-      touched.foreach { b =>
+      newBuckets.foreach { b =>
         val (n, bytes) = counts.getOrElse(b, (0L, 0L))
         lineage += LineageRow(runId, s"snap-$runId-inc", b, n, n, 0L, bytes, ms, "committed")
       }
     }
+    // the logical-delete partition for THIS increment — dynamic overwrite,
+    // so a replay rewrites exactly increment=<k>; committed BEFORE the
+    // index manifest line like every other artifact of the increment
+    remap.select(col("old_comp").as("id"))
+      .withColumn("increment", lit(inc))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("increment")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(demotedDir(outDir))
 
     // 5. commit the index LAST: bands increment + labels vNext, manifest after
     writeIndex(spark, outDir, newKeys, labelsNext, increment = inc,
       labelsVersion = curVersion + 1)
-    val touchedBuckets = (newBuckets ++ demotedParts.map(_._2)).distinct.sorted
-    if (touchedBuckets.nonEmpty)
+    if (newBuckets.nonEmpty)
       ExtractPipeline.appendManifest(outDir, runId, s"snap-$runId-inc",
-        touchedBuckets, lineage.toSeq)
+        newBuckets, lineage.toSeq)
     lineage.toSeq
   }
 
@@ -594,7 +579,216 @@ object CuratedPipeline {
     (extractLineage, curateLineage)
   }
 
-  /** Read the committed kept corpus. */
-  def readKept(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/data")
+  // ---- logical deletes, kept-table compaction, time travel ----------------
+  //
+  // The kept corpus is the pipeline's highest-value table, and without
+  // maintenance it is the only one whose partition count grows without
+  // bound: every curateIncrement adds a permanent curate_inc=<k> top-level
+  // prefix (× buckets × days). compactKept applies to it the same
+  // versioned-fold protocol StreamingIngest.compact applies to ingest
+  // batches: fold committed increments into data_compact/v<N> (curate_inc
+  // becomes a DATA column there, so the directory count collapses to
+  // buckets × days while every row keeps its provenance), commit the fold
+  // with one manifest line, vacuum superseded directories separately.
+  // Demotions are never applied physically — the delete table is KBs and
+  // riding it as a broadcast anti-join is what keeps BOTH the increment
+  // write path pure-append AND readKeptAsOf exact across a fold.
+
+  private def demotedDir(outDir: String) = s"$outDir/index/demoted"
+  private def compactDataDir(outDir: String, v: Long) = s"$outDir/data_compact/v$v"
+
+  /** The logical-delete table: (id, increment) for every canonical demoted
+    * by a later increment's bridge/undercut — the rare-path remap output,
+    * KBs per batch, applied by readers as a broadcast anti-join.
+    */
+  def readDemoted(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(demotedDir(outDir))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a demotion-free increment leaves only _SUCCESS behind — no
+    // increment=<k> partition to infer a schema from
+    val hasParts = fs.exists(dir) && fs.listStatus(dir)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("increment="))
+    if (!hasParts)
+      spark.range(0).select(col("id"), lit(0L).as("increment"))
+    else
+      spark.read.parquet(demotedDir(outDir))
+        // partition-dir inference narrows increment to int; pin to long
+        .withColumn("increment", col("increment").cast("long"))
+  }
+
+  private final case class KeptCompactState(version: Long, folded: Set[Long])
+
+  private def keptCompactState(outDir: String): KeptCompactState = {
+    val mf = java.nio.file.Paths.get(outDir, "_manifest", "kept_compact_manifest.jsonl")
+    if (!java.nio.file.Files.exists(mf)) return KeptCompactState(0L, Set.empty)
+    var version = 0L
+    val folded = scala.collection.mutable.Set.empty[Long]
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(mf).asScala.foreach { line =>
+      val vm = java.util.regex.Pattern.compile("\"version\":(\\d+)").matcher(line)
+      if (vm.find()) version = math.max(version, vm.group(1).toLong)
+      val im = java.util.regex.Pattern.compile("\"incs\":\\[([0-9,]*)\\]").matcher(line)
+      if (im.find() && im.group(1).nonEmpty)
+        folded ++= im.group(1).split(",").map(_.toLong)
+    }
+    KeptCompactState(version, folded.toSet)
+  }
+
+  /** Raw committed kept rows, deletes NOT applied: current compact version
+    * ∪ increment prefixes committed after the fold. Every row visible
+    * exactly once at every point (the StreamingIngest.readAll discipline).
+    */
+  private def keptRaw(spark: SparkSession, outDir: String): DataFrame = {
+    val st = keptCompactState(outDir)
+    if (st.version == 0L) return spark.read.parquet(s"$outDir/data")
+    val compacted = spark.read.parquet(compactDataDir(outDir, st.version))
+      .withColumn("curate_inc", col("curate_inc").cast("int"))
+    val dataDir = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveIncs =
+      if (!fs.exists(dataDir)) Seq.empty[Long]
+      else fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("curate_inc="))
+        .map(_.stripPrefix("curate_inc=").toLong)
+        .filterNot(st.folded)
+    if (liveIncs.isEmpty) compacted
+    else compacted.unionByName(
+      spark.read.parquet(s"$outDir/data")
+        .filter(col("curate_inc").isin(liveIncs.map(java.lang.Long.valueOf): _*))
+        .select(compacted.columns.map(col): _*))
+  }
+
+  /** Read the committed kept corpus: base/compact layout ∪ live increment
+    * prefixes, with the logical-delete table applied as a broadcast
+    * anti-join (merge-on-read).
+    * @param idCol the doc-id column the table was curated under
+    */
+  def readKept(spark: SparkSession, outDir: String, idCol: String = "id"): DataFrame = {
+    val raw = keptRaw(spark, outDir)
+    val del = readDemoted(spark, outDir).select(col("id").as("__del_id"))
+    raw.join(broadcast(del), raw(idCol) === col("__del_id"), "left_anti")
+  }
+
+  /** Fold every committed `curate_inc=<k>` increment prefix into one
+    * versioned base layout `data_compact/v<N>` (≈1 file per bucket × day
+    * instead of increments × buckets × days). Crash-safe without locking:
+    * the fold writes a FRESH version directory and the single appended
+    * manifest line is the commit point — a killed fold leaves an orphan
+    * directory that a replay overwrites (deterministic version number).
+    * Rows keep their `curate_inc` (as a data column) and the delete table
+    * is never applied physically, so [[readKeptAsOf]] still reconstructs
+    * any increment's view across the fold. Torn (uncommitted) increments
+    * are excluded — their replay re-appends them after the fold. Single
+    * maintenance writer assumed, like every compaction here.
+    * @return the new compact version (current version if nothing to fold)
+    */
+  def compactKept(spark: SparkSession, outDir: String, numBuckets: Int = 32): Long = {
+    val st = keptCompactState(outDir)
+    val committedIncs = {
+      val (v, incs) = indexState(outDir)
+      if (v == 0L) Set(0L) else incs // index-less tables have only the base build
+    }
+    val todo = (committedIncs -- st.folded).toSeq.sorted
+    if (todo.isEmpty) return st.version
+    val prev =
+      if (st.version == 0L) None
+      else Some(spark.read.parquet(compactDataDir(outDir, st.version))
+        .withColumn("curate_inc", col("curate_inc").cast("int")))
+    val newRows = spark.read.parquet(s"$outDir/data")
+      .filter(col("curate_inc").isin(todo.map(java.lang.Long.valueOf): _*))
+      .withColumn("curate_inc", col("curate_inc").cast("int"))
+    val union = prev
+      .map(p => p.unionByName(newRows.select(p.columns.map(col): _*)))
+      .getOrElse(newRows)
+      .repartition(numBuckets, col("part_bucket"))
+    val next = st.version + 1
+    union.write.mode(SaveMode.Overwrite)
+      .partitionBy("part_bucket", "warc_day")
+      .option("compression", "zstd")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .parquet(compactDataDir(outDir, next))
+    val dir = java.nio.file.Paths.get(outDir, "_manifest")
+    java.nio.file.Files.createDirectories(dir)
+    val line = s"""{"version":$next,"incs":[${(st.folded ++ todo).toSeq.sorted.mkString(",")}]}""" + "\n"
+    java.nio.file.Files.write(dir.resolve("kept_compact_manifest.jsonl"),
+      line.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    next
+  }
+
+  /** Delete kept-table directories superseded by [[compactKept]]: folded
+    * `curate_inc=<k>` prefixes and compact versions older than current.
+    * Logically lossless — every folded row lives on in the current compact
+    * version, and time travel needs only the `curate_inc` column and the
+    * delete table, both retained. Run only when no reader is mid-query
+    * (single-writer maintenance, the expire_snapshots caveat).
+    */
+  def vacuumKept(spark: SparkSession, outDir: String): Unit = {
+    val st = keptCompactState(outDir)
+    if (st.version == 0L) return
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    st.folded.foreach { k =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/data/curate_inc=$k"), true)
+    }
+    (1L until st.version).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(compactDataDir(outDir, v)), true)
+    }
+  }
+
+  /** Committed (increment, labels_version) pairs in commit order — the
+    * curated table's snapshot history. One snapshot per increment; the
+    * base build is increment 0.
+    */
+  def keptSnapshots(outDir: String): Seq[(Long, Long)] = {
+    val mf = java.nio.file.Paths.get(outDir, "_manifest", "index_manifest.jsonl")
+    if (!java.nio.file.Files.exists(mf)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(mf).asScala.toSeq.flatMap { line =>
+      val im = java.util.regex.Pattern.compile("\"increment\":(\\d+)").matcher(line)
+      val vm = java.util.regex.Pattern.compile("\"labels_version\":(\\d+)").matcher(line)
+      if (im.find() && vm.find()) Some((im.group(1).toLong, vm.group(1).toLong))
+      else None
+    }
+  }
+
+  /** Time travel on the kept corpus: exactly what [[readKept]] returned
+    * when increment `asOf` was the head — rows appended at increments
+    * ≤ asOf, minus canonicals demoted by increments ≤ asOf. Exact across
+    * [[compactKept]] (the fold keeps `curate_inc` and never applies
+    * deletes physically) and across [[vacuumKept]] (it deletes only
+    * directories whose rows live on in the compact version). The
+    * `curate_inc` predicate is a partition filter on live prefixes and a
+    * min/max-pruned data predicate on the compact layout.
+    */
+  def readKeptAsOf(spark: SparkSession, outDir: String, asOf: Long,
+      idCol: String = "id"): DataFrame = {
+    val snaps = keptSnapshots(outDir)
+    require(snaps.exists(_._1 == asOf),
+      s"unknown increment $asOf (committed: ${snaps.map(_._1).mkString(",")})")
+    val raw = keptRaw(spark, outDir).filter(col("curate_inc") <= asOf)
+    val del = readDemoted(spark, outDir)
+      .filter(col("increment") <= asOf).select(col("id").as("__del_id"))
+    raw.join(broadcast(del), raw(idCol) === col("__del_id"), "left_anti")
+  }
+
+  /** A reproducible RELEASE CUT: (kept rows, labels) AS OF one committed
+    * increment — the pair a corpus release ships, mutually consistent
+    * because the index manifest pairs each increment with the labels
+    * version it committed. Requires [[compactIndex]]'s label-version
+    * retention (`keepLabelVersions`) to still hold that version; a
+    * vacuumed version fails loudly here rather than silently serving
+    * newer labels.
+    */
+  def releaseAsOf(spark: SparkSession, outDir: String, asOf: Long,
+      idCol: String = "id"): (DataFrame, DataFrame) = {
+    val v = keptSnapshots(outDir).find(_._1 == asOf).map(_._2).getOrElse(
+      throw new IllegalArgumentException(s"unknown increment $asOf"))
+    val labelsPath = new org.apache.hadoop.fs.Path(indexLabelsDir(outDir, v))
+    val fs = labelsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(labelsPath),
+      s"labels v$v for increment $asOf was vacuumed by compactIndex — " +
+        "retain it with keepLabelVersions to cut this release")
+    (readKeptAsOf(spark, outDir, asOf, idCol), spark.read.parquet(indexLabelsDir(outDir, v)))
+  }
 }

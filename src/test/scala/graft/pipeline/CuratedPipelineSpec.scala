@@ -150,7 +150,7 @@ class CuratedPipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().sorted.toSeq
   }
 
-  test("curateIncrement(b2) after run(b1) equals run(b1 ∪ b2): appends, drops, demotion, empty-partition cleanup") {
+  test("curateIncrement(b2) after run(b1) equals run(b1 ∪ b2): appends, drops, logical demotion") {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog"
     val textB = "pack my box with five dozen liquor jugs today"
@@ -189,12 +189,16 @@ class CuratedPipelineSpec extends AnyFunSuite {
       .map(_.getName).toSet == Set("curate_inc=0", "curate_inc=1"))
     assert(labelState(outA) == labelState(outB),
       "incrementally maintained labels must equal the full recompute")
-    // the demoted doc's unique (bucket, day) partition is physically gone
+    // demotion is LOGICAL (merge-on-read): doc 40's partition is still on
+    // disk — the increment never rewrites existing data — and the delete
+    // table carries exactly the demoted id
     val days = new java.io.File(s"$outA/data").listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getName).toSet
-    assert(!days.contains("warc_day=2024-07-19"),
-      s"demoted-empty partition must be deleted, saw $days")
+    assert(days.contains("warc_day=2024-07-19"),
+      s"demotion must not rewrite data partitions, saw $days")
+    assert(CuratedPipeline.readDemoted(spark, outA)
+      .as[(Long, Long)].collect().toSeq == Seq((40L, 1L)))
   }
 
   test("curateIncrement merges two existing components through a bridge doc (canonical + content)") {
@@ -295,6 +299,110 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(keptState(outA) == keptState(outB))
     assert(labelState(outA) == labelState(outB))
     assert(keptState(outA).map(_._1) == Seq(5L, 6L, 10L, 30L, 40L))
+  }
+
+  test("compactKept folds increment prefixes; build → increment → compact → increment → vacuum stays value-exact") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textC = "sphinx of black quartz judge my vow quickly now"
+    val textD = "how vexingly quick daft zebras jump around here"
+    val textE = "bright vixens jump while dozy fowl quack loudly"
+    val b1 = Seq(CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), textA, "a"),
+      CurDoc(20L, "u20", ts("2024-03-01 11:00:00"), textB, "a"),
+      CurDoc(40L, "u40", ts("2024-03-01 12:00:00"), textD, "a")).toDF()
+    val b2 = Seq(CurDoc(30L, "u30", ts("2024-03-02 10:00:00"), textC, "b"),
+      CurDoc(31L, "u31", ts("2024-03-02 11:00:00"), textA, "b")).toDF() // dup of 10
+    val b3 = Seq(CurDoc(5L, "u05", ts("2024-03-03 10:00:00"), textE, "c"),
+      CurDoc(6L, "u06", ts("2024-03-03 11:00:00"), textB, "c")).toDF() // demotes 20
+
+    val outA = tmpDir(); val outB = tmpDir()
+    CuratedPipeline.run(spark, b1, outA, numBuckets = 4, snapshotGroups = 1, runId = "b1")
+    CuratedPipeline.curateIncrement(spark, b2, outA, numBuckets = 4, runId = "b2")
+
+    // fold base + first increment into compact v1 and reclaim the prefixes
+    val keptBefore = keptState(outA)
+    assert(CuratedPipeline.compactKept(spark, outA, numBuckets = 4) == 1L)
+    assert(keptState(outA) == keptBefore, "fold must not change the visible corpus")
+    CuratedPipeline.vacuumKept(spark, outA)
+    assert(keptState(outA) == keptBefore, "vacuum must not change the visible corpus")
+    // the increment prefixes are physically gone — the listing problem the
+    // fold exists for — and the compact layout has no curate_inc dirs
+    val dataDirs = Option(new java.io.File(s"$outA/data").listFiles())
+      .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory).map(_.getName)
+    assert(!dataDirs.exists(_.startsWith("curate_inc=")), s"saw ${dataDirs.mkString(",")}")
+    assert(new java.io.File(s"$outA/data_compact/v1").listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("part_bucket=")))
+
+    // an increment ACROSS the fold (with a demotion into the compacted
+    // base) still equals the full recompute
+    CuratedPipeline.curateIncrement(spark, b3, outA, numBuckets = 4, runId = "b3")
+    CuratedPipeline.run(spark, b1.unionByName(b2).unionByName(b3), outB,
+      numBuckets = 4, snapshotGroups = 1, runId = "full")
+    assert(keptState(outA) == keptState(outB))
+    assert(keptState(outA).map(_._1) == Seq(5L, 6L, 10L, 30L, 40L))
+    assert(labelState(outA) == labelState(outB))
+
+    // a SECOND fold absorbs the post-fold increment too
+    assert(CuratedPipeline.compactKept(spark, outA, numBuckets = 4) == 2L)
+    CuratedPipeline.vacuumKept(spark, outA)
+    assert(keptState(outA) == keptState(outB))
+    assert(!new java.io.File(s"$outA/data_compact/v1").exists())
+  }
+
+  test("readKeptAsOf reconstructs every increment's view; releaseAsOf pairs it with its labels version") {
+    import spark.implicits._
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textB = "pack my box with five dozen liquor jugs today"
+    val textD = "how vexingly quick daft zebras jump around here"
+    val b1 = Seq(CurDoc(10L, "u10", ts("2024-03-01 10:00:00"), textA, "a"),
+      CurDoc(20L, "u20", ts("2024-03-01 11:00:00"), textB, "a")).toDF()
+    val b2 = Seq(CurDoc(40L, "u40", ts("2024-03-02 10:00:00"), textD, "b"),
+      CurDoc(41L, "u41", ts("2024-03-02 11:00:00"), textA, "b")).toDF() // dup of 10
+    val b3 = Seq(CurDoc(5L, "u05", ts("2024-03-03 10:00:00"), textB, "c")).toDF() // demotes 20
+
+    val out = tmpDir()
+    CuratedPipeline.run(spark, b1, out, numBuckets = 4, snapshotGroups = 1, runId = "b1")
+    val v0 = keptState(out)
+    CuratedPipeline.curateIncrement(spark, b2, out, numBuckets = 4, runId = "b2")
+    val v1 = keptState(out)
+    CuratedPipeline.curateIncrement(spark, b3, out, numBuckets = 4, runId = "b3")
+    val v2 = keptState(out)
+    assert(v0.map(_._1) == Seq(10L, 20L))
+    assert(v1.map(_._1) == Seq(10L, 20L, 40L))
+    assert(v2.map(_._1) == Seq(5L, 10L, 40L)) // 20 demoted by 5
+
+    assert(CuratedPipeline.keptSnapshots(out) == Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    def asOf(k: Long) = CuratedPipeline.readKeptAsOf(spark, out, k)
+      .select($"id", $"text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(asOf(0L) == v0, "as-of increment 0 must equal what readKept returned then")
+    assert(asOf(1L) == v1, "as-of increment 1 must see the pre-demotion canonical")
+    assert(asOf(2L) == v2)
+
+    // time travel survives the kept-table fold + vacuum (curate_inc rides
+    // along as a data column; deletes stay logical)
+    CuratedPipeline.compactKept(spark, out, numBuckets = 4)
+    CuratedPipeline.vacuumKept(spark, out)
+    assert(asOf(0L) == v0 && asOf(1L) == v1 && asOf(2L) == v2,
+      "per-snapshot kept sets must survive kept-table compaction")
+
+    // release cut: labels version paired with the increment; the older cut
+    // still shows 20 as its own canonical, the newer one shows 20 → 5
+    val (k1, l1) = CuratedPipeline.releaseAsOf(spark, out, 1L)
+    assert(k1.select($"id").as[Long].collect().sorted.toSeq == Seq(10L, 20L, 40L))
+    assert(l1.filter($"id" === 20L).select($"comp").as[Long].head() == 20L)
+    val (k2, l2) = CuratedPipeline.releaseAsOf(spark, out, 2L)
+    assert(k2.select($"id").as[Long].collect().sorted.toSeq == Seq(5L, 10L, 40L))
+    assert(l2.filter($"id" === 20L).select($"comp").as[Long].head() == 5L)
+
+    // compactIndex with keepLabelVersions=1 vacuums v1/v2 → the old
+    // release cut fails LOUDLY instead of serving newer labels
+    CuratedPipeline.compactIndex(spark, out)
+    intercept[IllegalArgumentException] {
+      CuratedPipeline.releaseAsOf(spark, out, 1L)
+    }
+    val (k2b, _) = CuratedPipeline.releaseAsOf(spark, out, 2L) // current survives
+    assert(k2b.select($"id").as[Long].collect().sorted.toSeq == Seq(5L, 10L, 40L))
   }
 
   test("torn curate run resumes and equals the clean run (dedup decision is stable)") {
