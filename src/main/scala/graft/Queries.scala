@@ -2008,7 +2008,57 @@ object Queries {
           "count(*) AS n_anchor_terms, count(DISTINCT term) AS n_distinct_terms, " +
           "CAST(sum(len(term)) AS BIGINT) AS term_chars, " +
           "CAST(sum(doc_id) // 2 AS BIGINT) AS link_id_sum " +
-          "FROM t GROUP BY target ORDER BY target")))
+          "FROM t GROUP BY target ORDER BY target")),
+
+    // Freshness re-crawl scheduling (the other half of crawl planning —
+    // CC's cdx + cluster.idx exist for exactly this query): a url whose
+    // NEWEST capture is older than its host's max-age policy re-enters
+    // the frontier. Captures are planted from doc_id (one per doc, a
+    // second younger capture for doc_id%3=0 so newest-wins is visible),
+    // the per-host policy table varies 60→420 days, and the REAL
+    // CrawlPlanner.staleCaptures operator runs in the oracled loop (the
+    // q84 pattern) — DuckDB re-derives newest-capture + integer
+    // epoch-second age comparison independently. Scale shape: one
+    // map-side-combined max per url over the INDEX (never the corpus) +
+    // a broadcast policy join.
+    Q("q91_recrawl_age",
+      (s, dir) => {
+        val did = col("doc_id")
+        val base = t(s, dir, "documents").select(did,
+          concat(lit("site"), pmod(did, lit(5)).cast("string"), lit(".com")).as("host"),
+          concat(lit("https://site"), pmod(did, lit(5)).cast("string"),
+            lit(".com/p"), did.cast("string")).as("url"))
+        val caps = base.select(col("host"), col("url"), explode(
+          when(pmod(col("doc_id"), lit(3)) === 0, array(
+            expr("timestampadd(DAY, cast(doc_id % 500 AS int), timestamp'2024-01-01 00:00:00')"),
+            expr("timestampadd(DAY, cast(doc_id % 500 AS int) + 200, timestamp'2024-01-01 00:00:00')")))
+            .otherwise(array(
+              expr("timestampadd(DAY, cast(doc_id % 500 AS int), timestamp'2024-01-01 00:00:00')"))))
+          .as("cap_ts"))
+        val policies = s.range(5).select(
+          concat(lit("site"), col("id").cast("string"), lit(".com")).as("host"),
+          (lit(60) + col("id") * 90).cast("int").as("max_age_days"))
+        graft.pipeline.CrawlPlanner.staleCaptures(caps, policies,
+            to_timestamp(lit("2025-06-15 00:00:00")))
+          .join(base, Seq("host", "url"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_stale"),
+            sum(col("doc_id")).cast("long").as("stale_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH caps AS (SELECT doc_id, 'site' || (doc_id % 5)::VARCHAR || '.com' AS host, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_days((doc_id % 500)::INT) AS ts1, " +
+          "CASE WHEN doc_id % 3 = 0 THEN TIMESTAMP '2024-01-01 00:00:00' + to_days((doc_id % 500)::INT + 200) END AS ts2 " +
+          "FROM documents), " +
+          "newest AS (SELECT doc_id, host, " +
+          "greatest(epoch(ts1)::BIGINT, coalesce(epoch(ts2)::BIGINT, epoch(ts1)::BIGINT)) AS newest_s FROM caps), " +
+          "pol(host, max_age_days) AS (VALUES ('site0.com', 60), ('site1.com', 150), " +
+          "('site2.com', 240), ('site3.com', 330), ('site4.com', 420)), " +
+          "stale AS (SELECT n.host, n.doc_id FROM newest n JOIN pol p ON n.host = p.host " +
+          "WHERE n.newest_s + p.max_age_days * 86400 <= epoch(TIMESTAMP '2025-06-15 00:00:00')::BIGINT) " +
+          "SELECT host, count(*) AS n_stale, CAST(sum(doc_id) AS BIGINT) AS stale_id_sum " +
+          "FROM stale GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -74,7 +74,17 @@ object CdxIndex {
     val sortedQuery =
       if (query.isEmpty) ""
       else "?" + query.split('&').filter(_.nonEmpty).sorted.mkString("&")
-    revHost + portPart + ")" + path + sortedQuery
+    // cdxj lines are space-delimited and cluster.idx is tab-delimited: a
+    // malformed WARC-Target-URI carrying raw whitespace would shift every
+    // downstream split_part parse and corrupt the shard map — percent-
+    // encode the offenders so one bad URL cannot poison the index format
+    (revHost + portPart + ")" + path + sortedQuery).flatMap {
+      case ' '  => "%20"
+      case '\t' => "%09"
+      case '\r' => "%0d"
+      case '\n' => "%0a"
+      case c    => c.toString
+    }
   }
 
   /** SHA-1 of the payload, Base32 (RFC 4648 uppercase; 20 bytes → exactly
@@ -367,26 +377,55 @@ object CdxIndex {
     * amplification compaction exists to fold away. The corpus and every
     * other shard are never opened.
     */
-  def lookup(spark: SparkSession, idxDir: String, url: String): DataFrame = {
-    val key = surtKey(url)
+  def lookup(spark: SparkSession, idxDir: String, url: String): DataFrame =
+    lookupMany(spark, idxDir, Seq(url))
+
+  /** Batched point lookup: captures of EVERY url in one read. Owner shards
+    * are resolved per key against the driver-side `cluster.idx` (one shard
+    * per generation per key), deduplicated, and read once with an
+    * `urlkey IN (...)` filter — so probing a 10k-url sliver costs
+    * |distinct owner shards| file opens, not 10k lookup jobs and never a
+    * corpus scan. This is the read path [[SeenUrls.filterNew]] routes its
+    * maybe-seen sliver through.
+    *
+    * A cluster-less foreign CC-style index (cdx-*.gz but no cluster.idx —
+    * the same case [[read]] supports) falls back to filtering the full
+    * glob rather than silently reporting zero captures.
+    */
+  def lookupMany(spark: SparkSession, idxDir: String, urls: Seq[String]): DataFrame = {
+    def noCaptures = parseLines(
+      spark.createDataset(Seq.empty[String])(
+        org.apache.spark.sql.Encoders.STRING).toDF("value"))
+    val keys = urls.map(surtKey).distinct
+    if (keys.isEmpty) return noCaptures
     val state = clusterState(spark, idxDir)
-    if (state.shards.isEmpty) return spark.emptyDataFrame
+    val keyFilter = col("urlkey").isin(keys: _*)
+    if (state.shards.isEmpty) {
+      // no cluster.idx: mirror read()'s glob fallback (empty glob → no index)
+      val fs = new Path(idxDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val any = Option(fs.globStatus(new Path(s"$idxDir/cdx-*.gz")))
+        .exists(_.nonEmpty)
+      if (!any) return noCaptures
+      return parseLines(spark.read.text(s"$idxDir/cdx-*.gz")).filter(keyFilter)
+    }
     val owners = state.shards.groupBy(s => genOf(s._2)).values.toSeq.flatMap { gen =>
       val sorted = gen.sortBy(_._1)
-      // owner = last shard whose firstKey <= key (key below every firstKey
-      // → the generation's first shard); PLUS any following shards whose
-      // firstKey == key — our writer co-locates equal keys, but a foreign
-      // index may straddle a multi-capture url across a shard boundary
-      val ownerIdx = sorted.lastIndexWhere(_._1 <= key) match {
-        case -1 => 0
-        case i  => i
+      keys.flatMap { key =>
+        // owner = last shard whose firstKey <= key (key below every firstKey
+        // → the generation's first shard); PLUS any following shards whose
+        // firstKey == key — our writer co-locates equal keys, but a foreign
+        // index may straddle a multi-capture url across a shard boundary
+        val ownerIdx = sorted.lastIndexWhere(_._1 <= key) match {
+          case -1 => 0
+          case i  => i
+        }
+        sorted.zipWithIndex.collect {
+          case ((first, file, _), i) if i == ownerIdx || (i > ownerIdx && first == key) => file
+        }
       }
-      sorted.zipWithIndex.collect {
-        case ((first, file, _), i) if i == ownerIdx || (i > ownerIdx && first == key) => file
-      }
-    }
+    }.distinct
     parseLines(spark.read.text(owners.map(o => s"$idxDir/$o"): _*))
-      .filter(col("urlkey") === key)
+      .filter(keyFilter)
   }
 
   /** Random access: seek to one gzip member and parse its record — the

@@ -1,46 +1,102 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** The crawl-side composition: what should the NEXT fetch wave contain?
   *
   *   discover   — sitemap entries per host ([[graft.core.html.SitemapXml]])
+  *                ∪ freshness RE-CRAWLS: urls whose newest CDX capture is
+  *                older than the host's max-age policy ([[staleCaptures]])
   *   consent    — robots.txt longest-match decisions (RFC 9309,
-  *                [[graft.core.html.RobotsTxt]])
+  *                [[graft.core.html.RobotsTxt]]) — applied to re-crawls
+  *                too: consent can be withdrawn between captures
   *   novelty    — drop urls the committed corpus already holds
-  *                ([[SeenUrls]]: Bloom-routed, anti-join-confirmed)
+  *                ([[SeenUrls]]: Bloom-routed, anti-join-confirmed);
+  *                re-crawl rows BYPASS this stage — being already-seen is
+  *                their point
   *   politeness — per-host waves, at most `perWave` fetches per host per
   *                wave (window partitioned BY HOST — per-host state never
   *                converges on one task)
   *
-  * Each stage is the operator its oracled query pins (q85/q83/q84/q86);
-  * this object is their production composition, the same way
+  * Each stage is the operator its oracled query pins (q85/q83/q84/q86/
+  * q91); this object is their production composition, the same way
   * CuratedPipeline composes the corpus-side operators. Scale shape: the
-  * per-host tables (sitemap xml, robots txt) are broadcast; the only
-  * corpus-sized work is the seen-set confirmation, already fpp-routed.
+  * per-host tables (sitemap xml, robots txt, age policies) are broadcast;
+  * the corpus-sized stages are the seen-set confirmation (fpp-routed,
+  * optionally CDX point probes) and the newest-capture aggregation (one
+  * map-side-combined max per url over the index, never the corpus).
   */
 object CrawlPlanner {
 
   final case class PlanStats(
       discovered: Long, blocked: Long, alreadySeen: Long,
-      scheduled: Long, maxWaves: Long)
+      scheduled: Long, maxWaves: Long, recrawls: Long)
+
+  /** The freshness rule, factored so q91 oracles the exact operator the
+    * planner runs: urls whose NEWEST capture is at least `max_age_days`
+    * old at `asOf` re-enter the frontier. One hash aggregation on the url
+    * (map-side-combined max) + a broadcast policy join; the comparison is
+    * integer epoch-seconds, so an independent engine pins it bit-exactly.
+    *
+    * @param captures (host, url, cap_ts: timestamp) — every known capture
+    * @param policies (host, max_age_days: int) — hosts absent from the
+    *                 policy table are never re-crawled
+    * @return (host, url) stale set
+    */
+  def staleCaptures(captures: DataFrame, policies: DataFrame, asOf: Column): DataFrame =
+    captures
+      .groupBy(col("host"), col("url"))
+      .agg(max(unix_timestamp(col("cap_ts"))).as("newest_s"))
+      .join(broadcast(policies), Seq("host"))
+      .filter(col("newest_s") + col("max_age_days").cast("long") * 86400L
+        <= unix_timestamp(asOf))
+      .select(col("host"), col("url"))
+
+  /** [[staleCaptures]] over a committed CDX index: newest capture per url
+    * from the index's 14-digit timestamps. Reads the INDEX (one line per
+    * capture), never the corpus — the `cdx` + `cluster.idx` files exist
+    * for exactly this freshness query.
+    */
+  def staleUrls(spark: SparkSession, idxDir: String, policies: DataFrame,
+      asOf: String): DataFrame = {
+    val caps = CdxIndex.read(spark, idxDir).select(
+      regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1).as("host"),
+      col("url"),
+      to_timestamp(col("ts"), "yyyyMMddHHmmss").as("cap_ts"))
+    staleCaptures(caps, policies, to_timestamp(lit(asOf)))
+  }
 
   /** @param sites    one row per host: (host, sitemap_xml, robots_txt)
     * @param corpusDir committed extract table (the seen-set source)
     * @param perWave  politeness budget: fetches per host per wave
+    * @param recrawl  (host, url) rows to fetch AGAIN — [[staleUrls]]
+    *                 output; they pass consent but skip the novelty stage
+    * @param cdxDir   routes the seen-set confirmation through CDX point
+    *                 probes ([[SeenUrls.filterNew]])
     * @return (plan, stats) — plan rows: (host, url, wave)
     */
   def plan(spark: SparkSession, sites: DataFrame, corpusDir: String,
-      perWave: Int = 3): (DataFrame, PlanStats) = {
+      perWave: Int = 3, recrawl: Option[DataFrame] = None,
+      cdxDir: Option[String] = None): (DataFrame, PlanStats) = {
     import graft.functions.GraftFunctions
 
-    // discover: every sitemap entry, keyed back to its host
-    val discovered = sites
+    // discover: every sitemap entry keyed back to its host, ∪ the
+    // freshness re-crawls (flagged — they bypass novelty below). Re-crawl
+    // rows re-join the sites table for the host's CURRENT robots rules.
+    val sitemapped = sites
       .select(col("host"), col("robots_txt"),
         explode(GraftFunctions.sitemapEntries(col("sitemap_xml"))).as("e"))
-      .select(col("host"), col("robots_txt"), col("e.loc").as("url"))
+      .select(col("host"), col("robots_txt"), col("e.loc").as("url"),
+        lit(false).as("__recrawl"))
+    val discovered = recrawl match {
+      case None => sitemapped
+      case Some(r) => sitemapped.unionByName(
+        r.select(col("host"), col("url"))
+          .join(broadcast(sites.select(col("host"), col("robots_txt"))), Seq("host"))
+          .select(col("host"), col("robots_txt"), col("url"), lit(true).as("__recrawl")))
+    }
 
     // consent: path-part of the url against the host's robots rules.
     // Persisted: every stat and the downstream stages read this frame,
@@ -53,26 +109,37 @@ object CrawlPlanner {
       .withColumn("__allowed", GraftFunctions.robotsAllowed(col("robots_txt"), col("__path")))
       .persist()
     val nDiscovered = consented.count()
-    val allowed = consented.filter(col("__allowed")).select(col("host"), col("url"))
+    val allowed = consented.filter(col("__allowed"))
+      .select(col("host"), col("url"), col("__recrawl"))
     val nAllowed = allowed.count()
 
     // novelty: Bloom-routed frontier check against the committed corpus —
     // the only corpus-sized stage; persisted so the schedule and the
-    // stats pay it once
-    val fresh = SeenUrls.filterNew(spark, corpusDir, allowed).persist()
-    val nFresh = fresh.count()
+    // stats pay it once. Re-crawl rows bypass it by construction.
+    val novel = SeenUrls.filterNew(spark, corpusDir,
+      allowed.filter(!col("__recrawl")).select(col("host"), col("url")),
+      cdxDir = cdxDir).persist()
+    val nFresh = novel.count()
+    val nRecrawl = allowed.filter(col("__recrawl")).count()
+    val frontier = novel.unionByName(
+      allowed.filter(col("__recrawl")).select(col("host"), col("url")))
 
     // politeness: rank within host (url tie-break = determinism), cap
     // perWave fetches per host per wave
     val w = Window.partitionBy(col("host")).orderBy(col("url"))
-    val planned = fresh
+    val planned = frontier
       .withColumn("__rn", row_number().over(w))
       .withColumn("wave", expr(s"(__rn - 1) div $perWave"))
       .drop("__rn")
+      // materialize the schedule so BOTH pinned inputs can be released
+      // before returning — without this, repeated plan() calls accumulate
+      // cached partitions until executor storage evicts them
+      .localCheckpoint(true)
     val maxWaves = planned.agg(coalesce(max(col("wave")), lit(-1L))).head().getLong(0) + 1
     consented.unpersist()
+    novel.unpersist()
 
     (planned, PlanStats(nDiscovered, nDiscovered - nAllowed,
-      nAllowed - nFresh, nFresh, maxWaves))
+      nAllowed - nRecrawl - nFresh, nFresh + nRecrawl, maxWaves, nRecrawl))
   }
 }

@@ -55,4 +55,56 @@ class CrawlPlannerSpec extends AnyFunSuite {
     assert(plan2.select($"url", $"wave").as[(String, Long)].collect().sorted
       .sameElements(rows.sorted))
   }
+
+  test("freshness re-crawl: stale captures re-enter the frontier, pass robots, skip novelty") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-recrawl-corpus").toString
+    val warcDir = Files.createTempDirectory("graft-recrawl-warc").toString
+    val idxDir = Files.createTempDirectory("graft-recrawl-idx").toString
+    val host = "site.example"
+    def page(u: String, ts: String) = Page(u, java.sql.Timestamp.valueOf(ts),
+      s"<html><body>content of $u</body></html>".getBytes("UTF-8"), null, "en")
+
+    // planted capture ages: 6 old urls (Jan 2024), 3 old urls under a path
+    // robots NOW blocks, 4 recent urls — and old/p0 was RE-captured
+    // recently, so its newest capture wins and it is not stale
+    val oldPages = (0 until 6).map(i => page(s"https://$host/old/p$i", "2024-01-01 00:00:00"))
+    val oldBlocked = (0 until 3).map(i => page(s"https://$host/private/p$i", "2024-01-01 00:00:00"))
+    val freshPages = (0 until 4).map(i => page(s"https://$host/new/p$i", "2025-06-01 00:00:00"))
+    val recapture = Seq(page(s"https://$host/old/p0", "2025-06-01 00:00:00"))
+    val all = oldPages ++ oldBlocked ++ freshPages ++ recapture
+    WarcWriter.write(spark, all.toDS(), warcDir)
+    CdxIndex.build(spark, s"$warcDir/part-*", idxDir, shards = 2)
+
+    val policies = Seq((host, 30)).toDF("host", "max_age_days")
+    val stale = CrawlPlanner.staleUrls(spark, idxDir, policies, "2025-06-15 00:00:00")
+    val staleSet = stale.select($"url").as[String].collect().toSet
+    assert(staleSet ==
+      (oldPages.drop(1).map(_.url) ++ oldBlocked.map(_.url)).toSet,
+      s"stale set wrong: $staleSet")
+    // a host with no age policy never re-crawls
+    assert(CrawlPlanner.staleUrls(spark, idxDir,
+      Seq(("other.example", 30)).toDF("host", "max_age_days"),
+      "2025-06-15 00:00:00").count() == 0)
+
+    // compose into the planner: the corpus holds every crawled url, the
+    // sitemap discovers one genuinely new url, robots has since blocked
+    // /private/ — so the schedule = the new url + the still-allowed stale
+    // re-crawls, and novelty drops none of the re-crawls
+    ExtractPipeline.run(spark, all.toDS(), out, numBuckets = 8,
+      snapshotGroups = 2, runId = "rc")
+    val sites = Seq((host,
+      s"<urlset><url><loc>https://$host/new/x1</loc></url></urlset>",
+      "User-agent: *\nDisallow: /private/")).toDF("host", "sitemap_xml", "robots_txt")
+    val (plan, stats) = CrawlPlanner.plan(spark, sites, out, perWave = 2,
+      recrawl = Some(stale))
+    assert(stats.discovered == 9) // 1 sitemap + 8 stale
+    assert(stats.blocked == 3, "withdrawn consent must block stale re-crawls too")
+    assert(stats.alreadySeen == 0)
+    assert(stats.recrawls == 5)
+    assert(stats.scheduled == 6)
+    assert(stats.maxWaves == 3) // 6 urls, one host, 2 per wave
+    val urls = plan.select($"url").as[String].collect().toSet
+    assert(urls == oldPages.drop(1).map(_.url).toSet + s"https://$host/new/x1")
+  }
 }

@@ -50,4 +50,69 @@ class SeenUrlsSpec extends AnyFunSuite {
     committed.toDF().select("url").as[String].collect()
       .foreach(u => assert(loaded.mightContainString(u)))
   }
+
+  test("a filter built before the latest commit is stale: load refuses it, filterNew rebuilds") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-seen-stale").toString
+    val pages = ExtractStage.generatePages(spark, 600, partitions = 8)
+    ExtractPipeline.run(spark, pages, out, numBuckets = 8, snapshotGroups = 2, runId = "s")
+    val mf = java.nio.file.Paths.get(out, "_manifest", "manifest.jsonl")
+    val lines = java.nio.file.Files.readAllLines(mf)
+    assert(lines.size == 2)
+
+    // reproduce the half-committed state: roll the manifest back to the
+    // first snapshot AND delete the second group's bucket data (as a kill
+    // between the two commits would have left it), build the filter there,
+    // then let the run RESUME the remaining buckets — the filter now
+    // predates the resumed commit and misses every one of its urls
+    java.nio.file.Files.write(mf, (lines.get(0) + "\n").getBytes("UTF-8"))
+    val done = ExtractPipeline.committedBuckets(out)
+    (0 until 8).filterNot(done).foreach { b =>
+      val dir = java.nio.file.Paths.get(out, "data", s"part_bucket=$b")
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+    }
+    val stale = SeenUrls.build(spark, out)
+    ExtractPipeline.run(spark, pages, out, numBuckets = 8, snapshotGroups = 2, runId = "s2")
+    val missed = ExtractPipeline.readOutput(spark, out).select("url").as[String]
+      .collect().count(u => !stale.mightContainString(u))
+    assert(missed > 0, "test needs urls the stale filter has never seen")
+
+    // the staleness token refuses the persisted filter outright…
+    assert(SeenUrls.load(spark, out).isEmpty,
+      "a filter from before the latest commit must not load")
+    // …so filterNew rebuilds and still equals the plain anti-join: with
+    // the stale filter those urls would route to definitely-new and skip
+    // the confirmation entirely (the ADVICE false-negative escape)
+    val batch = ExtractStage.generatePages(spark, 1000, partitions = 8).toDF()
+    val viaBloom = SeenUrls.filterNew(spark, out, batch)
+      .select("url").as[String].collect().toSet
+    val viaAntiJoin = batch.join(
+      ExtractPipeline.readOutput(spark, out).select("url").distinct(),
+      Seq("url"), "left_anti").select("url").as[String].collect().toSet
+    assert(viaBloom == viaAntiJoin)
+  }
+
+  test("CDX-routed confirmation equals the plain anti-join (point probes, no corpus scan)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-seen-cdx").toString
+    val warcDir = Files.createTempDirectory("graft-seen-warc").toString
+    val idxDir = Files.createTempDirectory("graft-seen-idx").toString
+    val committed = ExtractStage.generatePages(spark, 600, partitions = 8)
+    ExtractPipeline.run(spark, committed, out, numBuckets = 8, snapshotGroups = 2, runId = "c")
+    // the corpus's own WARC segments → its CDX index (same url universe)
+    WarcWriter.write(spark, committed, warcDir)
+    CdxIndex.build(spark, s"$warcDir/part-*", idxDir, shards = 4)
+
+    val batch = ExtractStage.generatePages(spark, 1000, partitions = 8).toDF()
+    val viaCdx = SeenUrls.filterNew(spark, out, batch, cdxDir = Some(idxDir))
+      .select("url").as[String].collect().toSet
+    val viaAntiJoin = batch.join(
+      ExtractPipeline.readOutput(spark, out).select("url").distinct(),
+      Seq("url"), "left_anti").select("url").as[String].collect().toSet
+    assert(viaCdx == viaAntiJoin, "CDX routing must not change the answer")
+    assert(viaCdx.size == 400)
+  }
 }
