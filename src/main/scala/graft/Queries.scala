@@ -1593,15 +1593,21 @@ object Queries {
           "CAST(sum(CASE WHEN ord = first_ord THEN len(para) ELSE 0 END) AS BIGINT) AS kept_chars FROM j")),
 
     // LM-quality bucketing (the CCNet head/middle/tail design): train a
-    // word-bigram LM on the doc_id%5<2 split (CCNet: Wikipedia), score
-    // every doc as its mean bigram frequency (INTEGER ppm arithmetic —
-    // no float log-sums to drift between engines; monotone in the
-    // log-prob proxy), then derive the two bucket CUTOFFS from a 5%
-    // sample exactly as CCNet computes perplexity thresholds on a sample
-    // once and applies them as constants. Scale shape: the only global
-    // sort is the ntile over the bounded SAMPLE; the corpus side is a
-    // broadcast-LM join + hash agg + constant-threshold projection — no
-    // full-corpus window anywhere.
+    // word-bigram LM on a BOUNDED reference sample — the 2,000 docs that
+    // rank first by md5(doc_id) (deterministic, corpus-size-independent:
+    // CCNet trains on a fixed external corpus, never on a fraction that
+    // grows with the data; round-4 verdict fixed q80's doc_id%5 split for
+    // exactly that reason) — score every doc as its mean bigram frequency
+    // (INTEGER ppm arithmetic — no float log-sums to drift between
+    // engines; monotone in the log-prob proxy), then derive the two
+    // bucket CUTOFFS from a 5% sample exactly as CCNet computes
+    // perplexity thresholds on a sample once and applies them as
+    // constants. Scale shape: the train-id selection is a distributed
+    // top-N (TakeOrderedAndProject — constant N, never a full sort), the
+    // LM is bounded by N docs' bigrams so its join BROADCASTS forever
+    // (PlanCheckMain asserts both); the corpus side is a broadcast-LM
+    // join + hash agg + constant-threshold projection, and the only
+    // global window is the ntile over the bounded cutoff sample.
     Q("q80_lm_quality",
       (s, dir) => {
         val bg = t(s, dir, "documents")
@@ -1609,7 +1615,11 @@ object Queries {
           .filter(size(col("wrd")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(wrd)-2), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2)))")).as("g"))
-        val train = bg.filter(pmod(col("doc_id"), lit(5)) < 2)
+        val trainIds = t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__r"))
+          .orderBy(col("__r"), col("doc_id")).limit(2000)
+          .select(col("doc_id"))
+        val train = bg.join(broadcast(trainIds), Seq("doc_id"))
         val tot = train.agg(count(lit(1)).as("tot"))
         val lm = train.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
           .crossJoin(broadcast(tot))
@@ -1637,7 +1647,8 @@ object Queries {
         "WITH w AS (SELECT doc_id, string_split(text,' ') AS wrd FROM documents), " +
           "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(wrd)-1), i -> wrd[i] || ' ' || wrd[i+1])) AS g " +
           "FROM w WHERE len(wrd) >= 2), " +
-          "train AS (SELECT g FROM bg WHERE doc_id % 5 < 2), " +
+          "train_ids AS (SELECT doc_id FROM documents ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 2000), " +
+          "train AS (SELECT g FROM bg JOIN train_ids USING (doc_id)), " +
           "lm AS (SELECT g, (count(*) * 1000000) // (SELECT count(*) FROM train) AS ppm FROM train GROUP BY 1), " +
           "scored AS (SELECT bg.doc_id, (sum(coalesce(lm.ppm, 0)) // count(*)) AS avg_ppm " +
           "FROM bg LEFT JOIN lm ON bg.g = lm.g GROUP BY 1), " +
@@ -1933,21 +1944,7 @@ object Queries {
           .select(concat(lit("site"), a.cast("string")).as("src"),
             concat(lit("site"), dstN.cast("string")).as("dst"))
           .filter(col("src") =!= col("dst")).distinct()
-        val hosts = edges.select(col("src").as("host"))
-          .union(edges.select(col("dst").as("host"))).distinct()
-        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        var r = hosts.select(col("host"), lit(1000000L).as("r"))
-        (1 to 3).foreach { _ =>
-          val contrib = edges
-            .join(deg, "src")
-            .join(r.withColumnRenamed("host", "src"), "src")
-            .select(col("dst").as("host"), expr("r div outdeg").as("c"))
-            .groupBy(col("host")).agg(sum(col("c")).as("contrib"))
-          r = hosts.join(contrib, Seq("host"), "left")
-            .select(col("host"),
-              (lit(150000L) + expr("(850 * coalesce(contrib, 0L)) div 1000")).as("r"))
-        }
-        r.select(col("host"), col("r").cast("long").as("rank_ppm")).orderBy(col("host"))
+        graft.pipeline.HostRank.ranks(edges, iterations = 3).orderBy(col("host"))
       },
       Some {
         val pre =
@@ -2058,7 +2055,155 @@ object Queries {
           "stale AS (SELECT n.host, n.doc_id FROM newest n JOIN pol p ON n.host = p.host " +
           "WHERE n.newest_s + p.max_age_days * 86400 <= epoch(TIMESTAMP '2025-06-15 00:00:00')::BIGINT) " +
           "SELECT host, count(*) AS n_stale, CAST(sum(doc_id) AS BIGINT) AS stale_id_sum " +
-          "FROM stale GROUP BY host ORDER BY host")))
+          "FROM stale GROUP BY host ORDER BY host")),
+
+    // Crawl-storage dedup — the WARC `revisit` decision (ISO 28500
+    // §6.7.2, netpreserve identical-payload-digest profile; how CC stores
+    // a page captured unchanged twice exactly once): the FIRST capture of
+    // each payload digest (min by (warc_ts, url) — url tie-break for
+    // determinism) stays a full response, every later capture becomes a
+    // revisit stub pointing at it. Captures are planted from doc_id
+    // (payload class = doc_id%97, so duplicates span hosts and days); the
+    // REAL WarcDedup.classify operator runs in the oracled loop — the
+    // same decision that drives writeDeduped's storage layout — and
+    // DuckDB re-derives first-capture-per-payload with an independent
+    // window formulation. Scale shape: the decision is one hash agg over
+    // a thin (digest, ts, url) projection + a join back on url; bodies
+    // are digested in a narrow codegen'd pass and never shuffled.
+    Q("q92_warc_revisit",
+      (s, dir) => {
+        val did = col("doc_id")
+        val pages = t(s, dir, "documents").select(
+          concat(lit("https://h"), pmod(did, lit(11)).cast("string"),
+            lit(".com/p"), did.cast("string")).as("url"),
+          expr("timestampadd(DAY, cast(doc_id % 90 AS int), timestamp'2024-01-01 00:00:00')").as("warc_ts"),
+          encode(concat(lit("payload-"), pmod(did, lit(97)).cast("string")), "UTF-8").as("html"),
+          lit("").as("text"), lit("").as("lang"))
+        graft.pipeline.WarcDedup.classify(pages)
+          .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+          .withColumn("doc_id", regexp_extract(col("url"), "/p(\\d+)$", 1).cast("long"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_captures"),
+            sum(when(col("is_revisit"), 1).otherwise(0)).cast("long").as("n_revisits"),
+            sum(when(col("is_revisit"), col("doc_id")).otherwise(0)).cast("long").as("revisit_id_sum"),
+            countDistinct(when(col("is_revisit"), col("refers_to_url"))).as("n_referred"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH pages AS (SELECT doc_id, 'h' || (doc_id % 11)::VARCHAR || '.com' AS host, " +
+          "'https://h' || (doc_id % 11)::VARCHAR || '.com/p' || doc_id::VARCHAR AS url, " +
+          "TIMESTAMP '2024-01-01 00:00:00' + to_days((doc_id % 90)::INT) AS ts, " +
+          "'payload-' || (doc_id % 97)::VARCHAR AS payload FROM documents), " +
+          "ranked AS (SELECT *, row_number() OVER (PARTITION BY payload ORDER BY ts, url) AS rn, " +
+          "first_value(url) OVER (PARTITION BY payload ORDER BY ts, url) AS ref_url FROM pages) " +
+          "SELECT host, count(*) AS n_captures, " +
+          "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits, " +
+          "CAST(sum(CASE WHEN rn > 1 THEN doc_id ELSE 0 END) AS BIGINT) AS revisit_id_sum, " +
+          "count(DISTINCT CASE WHEN rn > 1 THEN ref_url END) AS n_referred " +
+          "FROM ranked GROUP BY host ORDER BY host")),
+
+    // Token-budget corpus mixing (Dolma / RedPajama source weights): a
+    // 10k-token budget split en=40% / de,es,fr,zh=15% each becomes
+    // per-lang ACCEPT RATES (min(1, budget·weight/stratum_tokens), integer
+    // ppm) applied as a deterministic md5-bucket sample — the REAL
+    // CorpusMixer.sample operator runs in the oracled loop and DuckDB
+    // re-derives totals → rates → selection independently. Budget chosen
+    // so rates stay interior (neither 0 nor keep-all) at every test SF.
+    // Scale shape: one map-side agg to lang totals + two broadcast joins
+    // + a codegen'd filter; the corpus is never shuffled.
+    Q("q93_corpus_mix",
+      (s, dir) => {
+        val weights = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row("en", 400000L), org.apache.spark.sql.Row("de", 150000L),
+            org.apache.spark.sql.Row("es", 150000L), org.apache.spark.sql.Row("fr", 150000L),
+            org.apache.spark.sql.Row("zh", 150000L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("weight_ppm", org.apache.spark.sql.types.LongType))))
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        graft.pipeline.CorpusMixer.sample(docs, "lang", weights, budgetTokens = 10000L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("rate_ppm")).cast("long").as("rate_ppm"),
+            sum(when(col("kept"), 1).otherwise(0)).cast("long").as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0)).cast("long").as("kept_tokens"),
+            sum(when(col("kept"), col("doc_id")).otherwise(0)).cast("long").as("kept_id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+          "tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM d GROUP BY 1), " +
+          "w(lang, weight_ppm) AS (VALUES ('en', 400000), ('de', 150000), " +
+          "('es', 150000), ('fr', 150000), ('zh', 150000)), " +
+          "r AS (SELECT tot.lang, least(1000000, (((10000::BIGINT * weight_ppm) // 1000000) * 1000000) // tok) AS rate_ppm " +
+          "FROM tot JOIN w USING (lang)), " +
+          "sel AS (SELECT d.doc_id, d.lang, d.n_tokens, r.rate_ppm, " +
+          "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) < r.rate_ppm AS kept " +
+          "FROM d JOIN r USING (lang)) " +
+          "SELECT lang, count(*) AS n_docs, CAST(max(rate_ppm) AS BIGINT) AS rate_ppm, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens, " +
+          "CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum " +
+          "FROM sel GROUP BY lang ORDER BY lang")),
+
+    // Rank-weighted crawl budgeting: the q89 host graph's PageRank splits
+    // hosts into quartile tiers (ntile over the HOST table — bounded),
+    // and a tier-t host gets t×5 urls per politeness wave — the REAL
+    // HostRank.ranks ∘ CrawlPlanner.rankedWaves composition runs in the
+    // oracled loop; DuckDB re-derives the 3 unrolled PageRank iterations
+    // (q89's formulation), the ntile tiers, and the per-host wave
+    // assignment independently. Scale shape: ranks/tiers live on
+    // host-cardinality tables, the frontier pays one broadcast join +
+    // per-host windows — never a global frontier sort.
+    Q("q94_rank_budget",
+      (s, dir) => {
+        val a = pmod(col("doc_id"), lit(7))
+        val dstN = pmod(a * a + pmod(col("doc_id"), lit(2)) * 3, lit(7))
+        val edges = t(s, dir, "documents")
+          .select(concat(lit("site"), a.cast("string")).as("src"),
+            concat(lit("site"), dstN.cast("string")).as("dst"))
+          .filter(col("src") =!= col("dst")).distinct()
+        val frontier = t(s, dir, "documents").select(
+          concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string")).as("host"),
+          concat(lit("https://site"), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(".com/p"), col("doc_id").cast("string")).as("url"),
+          col("doc_id"))
+        graft.pipeline.CrawlPlanner.rankedWaves(frontier,
+            graft.pipeline.HostRank.ranks(edges, iterations = 3), baseQuota = 5)
+          .groupBy(col("host"))
+          .agg(max(col("tier")).cast("long").as("tier"),
+            max(col("quota")).cast("long").as("quota"),
+            count(lit(1)).as("n_urls"),
+            (max(col("wave")) + 1).cast("long").as("n_waves"),
+            sum(when(col("wave") === 0, col("doc_id")).otherwise(0)).cast("long").as("wave0_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some {
+        val pre =
+          "WITH edges AS (SELECT DISTINCT 'site' || (doc_id % 7)::VARCHAR AS src, " +
+            "'site' || (((doc_id % 7) * (doc_id % 7) + (doc_id % 2) * 3) % 7)::VARCHAR AS dst " +
+            "FROM documents WHERE (doc_id % 7) <> (((doc_id % 7) * (doc_id % 7) + (doc_id % 2) * 3) % 7)), " +
+            "hosts AS (SELECT DISTINCT src AS host FROM edges UNION SELECT DISTINCT dst FROM edges), " +
+            "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1), " +
+            "r0 AS (SELECT host, 1000000::BIGINT AS r FROM hosts), "
+        def iter(prev: Int, n: Int): String =
+          s"r$n AS (SELECT h.host, 150000 + (850 * coalesce(c.contrib, 0)) // 1000 AS r FROM hosts h LEFT JOIN " +
+            s"(SELECT e.dst AS host, sum(r$prev.r // d.outdeg) AS contrib FROM edges e " +
+            s"JOIN r$prev ON r$prev.host = e.src JOIN deg d ON d.src = e.src GROUP BY 1) c ON c.host = h.host), "
+        pre + iter(0, 1) + iter(1, 2) + iter(2, 3) +
+          "tiered AS (SELECT host, ntile(4) OVER (ORDER BY r, host) AS tier FROM r3), " +
+          "frontier AS (SELECT doc_id, 'site' || (doc_id % 7)::VARCHAR AS host, " +
+          "'https://site' || (doc_id % 7)::VARCHAR || '.com/p' || doc_id::VARCHAR AS url FROM documents), " +
+          "j AS (SELECT f.doc_id, f.host, t.tier, t.tier * 5 AS quota, " +
+          "row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS rn " +
+          "FROM frontier f JOIN tiered t USING (host)), " +
+          "waved AS (SELECT *, (rn - 1) // quota AS wave FROM j) " +
+          "SELECT host, CAST(max(tier) AS BIGINT) AS tier, CAST(max(quota) AS BIGINT) AS quota, " +
+          "count(*) AS n_urls, CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
+          "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
+          "FROM waved GROUP BY host ORDER BY host"
+      }))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -14,7 +14,13 @@ final case class WarcRecord(
     contentType: String,
     httpStatus: Int,          // -1 when the payload is not an HTTP message
     httpContentType: String,  // from the HTTP headers, "" if absent
-    body: Array[Byte])        // HTTP entity body for responses, else the raw block
+    body: Array[Byte],        // HTTP entity body for responses, else the raw block
+    // revisit/dedup plumbing (ISO 28500 §6.7.2 + the netpreserve
+    // identical-payload-digest profile): "" when absent, so plain
+    // response-only archives parse exactly as before
+    payloadDigest: String = "",  // WARC-Payload-Digest, e.g. sha1:BASE32
+    refersToUri: String = "",    // WARC-Refers-To-Target-URI (revisit only)
+    refersToDate: String = "")   // WARC-Refers-To-Date (revisit only)
 
 /** Streaming WARC parser: `records(in)` lazily yields records from a
   * plain or gzipped stream. Common Crawl writes ONE GZIP MEMBER PER
@@ -158,7 +164,10 @@ object WarcReader {
     ReadOk(WarcRecord(warcType,
       headers.getOrElse("warc-target-uri", ""),
       headers.getOrElse("warc-date", ""),
-      contentType, status, httpCt, body))
+      contentType, status, httpCt, body,
+      payloadDigest = headers.getOrElse("warc-payload-digest", ""),
+      refersToUri = headers.getOrElse("warc-refers-to-target-uri", ""),
+      refersToDate = headers.getOrElse("warc-refers-to-date", "")))
   }
 
   /** Read a CRLF- (or bare-LF-) terminated ISO-8859-1 line; null at EOF

@@ -142,4 +142,31 @@ object CrawlPlanner {
     (planned, PlanStats(nDiscovered, nDiscovered - nAllowed,
       nAllowed - nRecrawl - nFresh, nFresh + nRecrawl, maxWaves, nRecrawl))
   }
+
+  /** Rank-weighted politeness: per-host wave CAPACITY scales with the
+    * host's PageRank tier, so high-authority hosts drain their frontier
+    * in fewer waves — how production crawlers allocate budget
+    * (OPIC/PageRank-ordered scheduling) without ever exceeding a host's
+    * politeness cap. Hosts are split into `tiers` quartiles by rank
+    * (ntile over the HOST table — host-cardinality, bounded, never the
+    * frontier; the same bounded-window discipline as q80's cutoff
+    * sample), and a tier-t host fetches `t × baseQuota` urls per wave.
+    *
+    * @param frontier (host, url) rows to schedule
+    * @param hostRanks (host, rank_ppm), e.g. [[HostRank.ranks]] output
+    * @return frontier plus (tier, quota, wave)
+    */
+  def rankedWaves(frontier: DataFrame, hostRanks: DataFrame,
+      baseQuota: Int, tiers: Int = 4): DataFrame = {
+    val byRank = Window.orderBy(col("rank_ppm"), col("host"))
+    val tiered = hostRanks
+      .withColumn("tier", ntile(tiers).over(byRank))
+      .withColumn("quota", (col("tier") * baseQuota).cast("int"))
+      .select(col("host"), col("tier"), col("quota"))
+    val perHost = Window.partitionBy(col("host")).orderBy(col("url"))
+    frontier.join(broadcast(tiered), Seq("host"))
+      .withColumn("__rn", row_number().over(perHost))
+      .withColumn("wave", expr("cast((__rn - 1) div quota AS bigint)"))
+      .drop("__rn")
+  }
 }

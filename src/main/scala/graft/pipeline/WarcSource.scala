@@ -31,7 +31,7 @@ object WarcSource {
       if (r.warcType == "response" && (!onlyHttpOk || r.httpStatus == 200))
         Some(Page(r.targetUri, parseWarcDate(r.date), r.body, "", ""))
       else None
-    }
+    }(org.apache.spark.sql.Encoders.product[Page])
 
   /** WET ingestion — the other half of the CC interchange: `conversion`
     * records (precomputed extracted text, [[WetExport]]'s output or CC's
@@ -47,13 +47,24 @@ object WarcSource {
         Some(Page(r.targetUri, parseWarcDate(r.date), Array.empty[Byte],
           new String(r.body, java.nio.charset.StandardCharsets.UTF_8), ""))
       else None
-    }
+    }(org.apache.spark.sql.Encoders.product[Page])
+
+  /** Raw record-level ingestion: every WARC record with its dedup headers
+    * (`WARC-Payload-Digest`, `WARC-Refers-To-*`) intact — the reader
+    * [[WarcDedup.readResolvedPages]] needs to rehydrate revisit records
+    * from the captures they reference.
+    */
+  def readRecords(spark: SparkSession, glob: String): Dataset[graft.core.warc.WarcRecord] = {
+    import spark.implicits._
+    readViaTasks(spark, glob)(Some(_))
+  }
 
   /** One streaming task per matched segment file, O(record) memory —
-    * shared by the response (WARC) and conversion (WET) readers.
+    * shared by the response (WARC), conversion (WET) and raw-record
+    * readers.
     */
-  private def readViaTasks(spark: SparkSession, glob: String)(
-      convert: graft.core.warc.WarcRecord => Option[Page]): Dataset[Page] = {
+  private def readViaTasks[T: org.apache.spark.sql.Encoder](spark: SparkSession, glob: String)(
+      convert: graft.core.warc.WarcRecord => Option[T]): Dataset[T] = {
     import spark.implicits._
     val p = new Path(glob)
     // session Hadoop conf, not `new Configuration()`: the driver listing and

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.hadoop.fs.Path
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import org.apache.spark.util.SerializableConfiguration
@@ -63,5 +64,27 @@ object WetExport {
       Iterator.single(n)
     }.collect()
     counts.sum
+  }
+
+  /** Cut a corpus RELEASE as WET segments from the CURATED kept table —
+    * the artifact a training-data consumer actually downloads. Reads
+    * through [[CuratedPipeline.readKept]], or [[CuratedPipeline.readKeptAsOf]]
+    * when `asOfIncrement` is set, so a release stays byte-reproducible
+    * after later increments land (kept rows + demotions both pinned to
+    * the increment). The released text is the kept table's text column:
+    * when the pipeline curated with `scrubPii = true`, that is the
+    * REDACTED form — raw PII never reaches the released files (WarcSpec
+    * proves it on a planted corpus).
+    *
+    * @return records written
+    */
+  def writeRelease(spark: SparkSession, curatedDir: String, dir: String,
+      asOfIncrement: Option[Long] = None, idCol: String = "id",
+      textCol: String = "extracted_text"): Long = {
+    val kept = asOfIncrement match {
+      case Some(k) => CuratedPipeline.readKeptAsOf(spark, curatedDir, k, idCol)
+      case None    => CuratedPipeline.readKept(spark, curatedDir, idCol)
+    }
+    write(spark, kept.withColumn("extracted_text", col(textCol)), dir)
   }
 }

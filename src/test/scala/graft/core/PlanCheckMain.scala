@@ -37,8 +37,11 @@ object PlanCheckMain {
       "q79_paragraph_dedup" -> ("no window, no cartesian",
         p => { val f = p.split("== Initial Plan ==").head
           !f.contains("CartesianProduct") && !f.contains("Window") }),
-      // the bigram LM is vocab-sized: its corpus join must broadcast
-      "q80_lm_quality" -> ("LM join broadcast", _.contains("BroadcastHashJoin")),
+      // the bigram LM is bounded by the fixed-size train sample: its corpus
+      // join must broadcast, and the train-id selection must be a
+      // distributed top-N (TakeOrderedAndProject), never a full sort
+      "q80_lm_quality" -> ("LM broadcast + bounded top-N train sample",
+        p => p.contains("BroadcastHashJoin") && p.contains("TakeOrderedAndProject")),
       // per-host gate rates are one projection + one hash agg
       "q81_domain_policy" -> ("gate is join-free projection",
         p => !p.split("== Initial Plan ==").head.contains("Join")),
@@ -49,7 +52,19 @@ object PlanCheckMain {
       // (or a cartesian) would serialize the corpus
       "q87_substring_dedup" -> ("no cartesian, no global window",
         p => { val f = p.split("== Initial Plan ==").head
-          !f.contains("CartesianProduct") && !f.contains("Exchange SinglePartition\n   +- Window") }))
+          !f.contains("CartesianProduct") && !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5: the revisit decision digests bodies in a narrow pass and
+      // aggregates a thin key projection — a window or cartesian here
+      // would mean the decision stopped being one hash agg + join
+      "q92_warc_revisit" -> ("no window, no cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") }),
+      // round 5: mixture rates are policy-sized — both the rate join and
+      // the weight join must broadcast; the corpus side is never
+      // sort-merge-shuffled
+      "q93_corpus_mix" -> ("rate joins broadcast, no SMJ on corpus",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

@@ -150,6 +150,162 @@ class WarcSpec extends AnyFunSuite {
     } finally spark.stop()
   }
 
+  test("curated WET release: scrubbed kept corpus → WET, no raw PII, time-travel reproducible") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("wet-release-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import graft.pipeline.{CuratedPipeline, ExtractStage, WetExport, Page}
+      import graft.core.rules.PiiScrubber
+      import spark.implicits._
+      // plant PII into ~1/4 of the pages' main content so the no-leak
+      // gate proves redaction, not absence
+      val pages = ExtractStage.generatePages(spark, 400, partitions = 8).map { p =>
+        if (p.html != null && math.floorMod(p.url.hashCode, 4) == 0) {
+          val s = new String(p.html, UTF_8)
+          val pii = s"<p>please contact agent${math.floorMod(p.url.hashCode, 97)}@example.com " +
+            s"about the server at 10.0.0.${math.floorMod(p.url.hashCode, 250)} before the close of business</p>"
+          Page(p.url, p.warc_ts, s.replaceFirst("</body>",
+            java.util.regex.Matcher.quoteReplacement(pii + "</body>")).getBytes(UTF_8),
+            p.text, p.lang)
+        } else p
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-wet-rel").toString
+      CuratedPipeline.runFromPages(spark, pages, out,
+        numBuckets = 8, snapshotGroups = 2, runId = "rel", scrubPii = true)
+      val curated = s"$out/curated"
+      val keptN = CuratedPipeline.readKept(spark, curated).count()
+
+      // the release artifact is cut from the KEPT corpus (scrub applied
+      // pre-dedup), not from the extract table
+      val relDir = java.nio.file.Files.createTempDirectory("graft-wet-rel-out").toString
+      val n = WetExport.writeRelease(spark, curated, relDir)
+      assert(n == keptN && n > 0)
+      val files = new java.io.File(relDir).listFiles()
+        .filter(_.getName.endsWith(".warc.wet.gz"))
+      val bodies = files.flatMap { f =>
+        WarcReader.records(new java.io.FileInputStream(f))
+          .map(r => (r.targetUri, new String(r.body, UTF_8))).toList
+      }
+      assert(bodies.length.toLong == n)
+      // the raw extract table DOES contain plantable PII on this corpus;
+      // the released bodies contain none (typed tokens only)
+      val rawPii = graft.pipeline.ExtractPipeline.readOutput(spark, s"$out/extract")
+        .filter(org.apache.spark.sql.functions.col("extracted_text")
+          .rlike(PiiScrubber.EmailPattern)).count()
+      assert(rawPii > 0, "generator corpus must plant PII for this test to prove anything")
+      val leaked = bodies.count { case (_, t) =>
+        t.matches(s"(?s).*${PiiScrubber.EmailPattern}.*") ||
+          t.matches(s"(?s).*${PiiScrubber.Ipv4Pattern}.*") }
+      assert(leaked == 0, s"released WET must carry no raw PII, found $leaked")
+      // release text ≡ kept text byte-for-byte
+      val keptMap = CuratedPipeline.readKept(spark, curated)
+        .selectExpr("url", "extracted_text").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(bodies.toMap == keptMap)
+
+      // time travel composes: a release cut AS OF the base increment is
+      // byte-identical before and after a later increment lands
+      val rel0a = java.nio.file.Files.createTempDirectory("graft-wet-rel0a").toString
+      WetExport.writeRelease(spark, curated, rel0a, asOfIncrement = Some(0L))
+      val morePages = ExtractStage.generatePages(spark, 500, partitions = 8)
+        .filter(_.url.hashCode % 3 == 0)
+      val gated = graft.pipeline.ExtractPipeline.readOutput(spark, s"$out/extract")
+      import org.apache.spark.sql.functions.{col => c, xxhash64}
+      val scrub = graft.functions.GraftFunctions.piiScrub(c("extracted_text"))
+      val batch2 = ExtractStage.run(morePages).toDF()
+        .filter(c("success"))
+        .join(gated.select("url"), Seq("url"), "left_anti")
+        .withColumn("id", xxhash64(c("url")))
+        // mirror runFromPages(scrubPii = true): the increment's rows enter
+        // the kept table in the same released (redacted) shape
+        .withColumn("__scrub", scrub)
+        .withColumn("extracted_text", c("__scrub.clean"))
+        .withColumn("pii_redactions",
+          c("__scrub.n_emails") + c("__scrub.n_ips") + c("__scrub.n_phones"))
+        .drop("__scrub")
+      CuratedPipeline.curateIncrement(spark, batch2, curated,
+        idCol = "id", textCol = "extracted_text", numBuckets = 8, runId = "rel2")
+      val rel0b = java.nio.file.Files.createTempDirectory("graft-wet-rel0b").toString
+      WetExport.writeRelease(spark, curated, rel0b, asOfIncrement = Some(0L))
+      def wetTexts(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".warc.wet.gz")).flatMap { f =>
+          WarcReader.records(new java.io.FileInputStream(f))
+            .map(r => (r.targetUri, new String(r.body, UTF_8))).toList
+        }.sortBy(_._1).toSeq
+      assert(wetTexts(rel0a) == wetTexts(rel0b),
+        "an as-of release must be reproducible after later increments")
+      // and the HEAD release now includes the increment's kept rows
+      val relHead = java.nio.file.Files.createTempDirectory("graft-wet-relh").toString
+      assert(WetExport.writeRelease(spark, curated, relHead) >= n)
+    } finally spark.stop()
+  }
+
+  test("revisit dedup cycle: duplicate payloads → revisit stubs, smaller archive, lossless resolve") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]").appName("warc-revisit-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import graft.pipeline.{CdxIndex, ExtractStage, Page, WarcDedup, WarcWriter}
+      // ~1/3 of the corpus re-captures another page's exact payload at a
+      // LATER timestamp (and a different url) — the identical-payload case
+      // revisit records exist for
+      val base = ExtractStage.generatePages(spark, 150, partitions = 8).collect().toSeq
+      val pages = base.zipWithIndex.map { case (p, i) =>
+        if (i % 3 == 2) {
+          val src = base(i - 1)
+          Page(p.url, new java.sql.Timestamp(src.warc_ts.getTime + 86400000L),
+            src.html, p.text, p.lang)
+        } else p
+      }
+      val ds = spark.createDataset(pages)(org.apache.spark.sql.Encoders.product[Page])
+        .repartition(4)
+
+      val plainDir = java.nio.file.Files.createTempDirectory("graft-warc-plain").toString
+      val dedupDir = java.nio.file.Files.createTempDirectory("graft-warc-dedup").toString
+      WarcWriter.write(spark, ds, plainDir)
+      val stats = WarcDedup.writeDeduped(spark, ds, dedupDir)
+      assert(stats.responses + stats.revisits == pages.length.toLong)
+      assert(stats.revisits >= pages.length / 4, "planted duplicates must become revisits")
+
+      def dirBytes(d: String) = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).map(_.length).sum
+      assert(dirBytes(dedupDir) < dirBytes(plainDir),
+        "dedup is a storage property: the archive must shrink")
+
+      // header fidelity: every revisit carries the netpreserve profile +
+      // digest + refers pointers, and its digest equals the digest the CDX
+      // layer would compute for the payload it references
+      val recs = new java.io.File(dedupDir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).sortBy(_.getName).flatMap { f =>
+          WarcReader.records(new java.io.FileInputStream(f)).toList
+        }
+      val responses = recs.filter(_.warcType == "response")
+      val revisits = recs.filter(_.warcType == "revisit")
+      assert(responses.length.toLong == stats.responses)
+      assert(revisits.length.toLong == stats.revisits)
+      assert(responses.forall(r => r.payloadDigest == "sha1:" + CdxIndex.sha1Base32(r.body)))
+      val respByKey = responses.map(r => ((r.targetUri, r.date), r)).toMap
+      revisits.foreach { rv =>
+        assert(rv.payloadDigest.startsWith("sha1:") && rv.refersToUri.nonEmpty && rv.refersToDate.nonEmpty)
+        val ref = respByKey((rv.refersToUri, rv.refersToDate))
+        assert(ref.payloadDigest == rv.payloadDigest,
+          "a revisit must reference a capture with its exact digest")
+      }
+
+      // resolution is lossless: the full page set comes back, bodies intact
+      val resolved = WarcDedup.readResolvedPages(spark, s"$dedupDir/*.warc.gz").collect()
+      def key(url: String, ts: java.sql.Timestamp, html: Array[Byte]) =
+        (url, ts.getTime, CdxIndex.sha1Base32(if (html == null) Array.empty[Byte] else html))
+      assert(resolved.map(p => key(p.url, p.warc_ts, p.html)).sorted.toSeq ==
+        pages.map(p => key(p.url, p.warc_ts, p.html)).sorted.toSeq)
+    } finally spark.stop()
+  }
+
   test("HTTP transfer decodings: chunked framing, gzip and deflate bodies, tolerant fallback") {
     def resp(headers: String, body: Array[Byte]): Array[Byte] =
       (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes(ISO_8859_1) ++ body

@@ -107,4 +107,32 @@ class CrawlPlannerSpec extends AnyFunSuite {
     val urls = plan.select($"url").as[String].collect().toSet
     assert(urls == oldPages.drop(1).map(_.url).toSet + s"https://$host/new/x1")
   }
+
+  test("rank-weighted waves: tier monotone in rank, per-wave capacity never exceeded") {
+    import spark.implicits._
+    // 4 hosts with strictly increasing rank; 10 frontier urls each
+    val ranks = Seq(("a.com", 200000L), ("b.com", 400000L),
+      ("c.com", 600000L), ("d.com", 800000L)).toDF("host", "rank_ppm")
+    val frontier = (for (h <- Seq("a", "b", "c", "d"); i <- 0 until 10)
+      yield (s"$h.com", f"https://$h.com/p$i%02d")).toDF("host", "url")
+    val waved = CrawlPlanner.rankedWaves(frontier, ranks, baseQuota = 3, tiers = 4)
+      .select($"host", $"url", $"tier", $"quota", $"wave")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+
+    // quartiles land one host each, quota = tier × base
+    val tiers = waved.groupBy(_._1).map { case (h, rs) => h -> rs.head._3 }
+    assert(tiers == Map("a.com" -> 1, "b.com" -> 2, "c.com" -> 3, "d.com" -> 4))
+    assert(waved.forall { case (_, _, t, q, _) => q == t * 3 })
+    // politeness invariant: no host fetches more than its quota per wave
+    waved.groupBy(t => (t._1, t._5)).foreach { case ((h, _), rs) =>
+      assert(rs.size <= rs.head._4, s"$h exceeded its wave quota")
+    }
+    // budget effect: top tier (quota 12) drains 10 urls in one wave,
+    // bottom tier (quota 3) needs ceil(10/3)=4
+    val nWaves = waved.groupBy(_._1).map { case (h, rs) => h -> (rs.map(_._5).max + 1) }
+    assert(nWaves == Map("a.com" -> 4L, "b.com" -> 2L, "c.com" -> 2L, "d.com" -> 1L))
+    // determinism within a host: waves fill in url order
+    val aWaves = waved.filter(_._1 == "a.com").sortBy(_._2).map(_._5).toSeq
+    assert(aWaves == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L, 3L))
+  }
 }
