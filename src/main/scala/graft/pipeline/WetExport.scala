@@ -21,16 +21,27 @@ import graft.core.warc.GzipMemberWriter
   */
 object WetExport {
 
+  /** Per-segment accounting for the release manifest: file name, record
+    * count, compressed bytes, SHA-1 of the file's bytes — computed by the
+    * WRITING task as the bytes stream out (no second read of the
+    * segment), the way CC's segment checksum lists are cut.
+    */
+  final case class WetFileStat(file: String, records: Long, bytes: Long, sha1: String)
+
   /** Write `df` (needs `url`, `warc_ts`, `extracted_text` columns) as WET
     * segment files under `dir`. Returns the number of records written.
     */
-  def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  def write(spark: SparkSession, df: DataFrame, dir: String): Long =
+    writeWithStats(spark, df, dir).map(_.records).sum
+
+  /** [[write]], returning per-segment stats for manifest cuts. */
+  def writeWithStats(spark: SparkSession, df: DataFrame, dir: String): Seq[WetFileStat] = {
     import spark.implicits._
     val slim = df.selectExpr("url", "cast(warc_ts AS string) AS ts", "extracted_text")
       .as[(String, String, String)]
     val confBc = spark.sparkContext.broadcast(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
-    val counts = slim.mapPartitions { it =>
+    val stats = slim.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")
       // session Hadoop conf (broadcast), and ONE reused Deflater per task —
@@ -38,7 +49,8 @@ object WetExport {
       // Deflater leak)
       val fs = path.getFileSystem(confBc.value.value)
       var n = 0L
-      val out = fs.create(path, true)
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      val out = new java.security.DigestOutputStream(fs.create(path, true), md)
       val gz = new GzipMemberWriter(out)
       try {
         it.foreach { case (url, ts, text) =>
@@ -61,9 +73,10 @@ object WetExport {
         gz.close()
         out.close()
       }
-      Iterator.single(n)
+      val hex = md.digest().map(b => f"$b%02x").mkString
+      Iterator.single(WetFileStat(path.getName, n, fs.getFileStatus(path).getLen, hex))
     }.collect()
-    counts.sum
+    stats.toSeq.sortBy(_.file)
   }
 
   /** Cut a corpus RELEASE as WET segments from the CURATED kept table —
@@ -76,6 +89,14 @@ object WetExport {
     * REDACTED form — raw PII never reaches the released files (WarcSpec
     * proves it on a planted corpus).
     *
+    * The release ships with a MANIFEST (`release.json`, written LAST —
+    * the commit point): per-segment record counts, byte sizes, and
+    * SHA-1 checksums computed by the writing tasks as the bytes
+    * streamed out, plus the as-of increment — everything a consumer
+    * needs to verify a mirror without opening a segment (CC's
+    * `wet.paths` + checksum lists, as one artifact). A directory
+    * without `release.json` is a torn release.
+    *
     * @return records written
     */
   def writeRelease(spark: SparkSession, curatedDir: String, dir: String,
@@ -85,6 +106,17 @@ object WetExport {
       case Some(k) => CuratedPipeline.readKeptAsOf(spark, curatedDir, k, idCol)
       case None    => CuratedPipeline.readKept(spark, curatedDir, idCol)
     }
-    write(spark, kept.withColumn("extracted_text", col(textCol)), dir)
+    val stats = writeWithStats(spark, kept.withColumn("extracted_text", col(textCol)), dir)
+    val files = stats.map(s =>
+      s"""{"file": "${s.file}", "records": ${s.records}, "bytes": ${s.bytes}, "sha1": "${s.sha1}"}""")
+    val manifest =
+      s"""{"records": ${stats.map(_.records).sum}, "bytes": ${stats.map(_.bytes).sum}, """ +
+        s""""as_of_increment": ${asOfIncrement.map(_.toString).getOrElse("null")}, """ +
+        s""""files": [${files.mkString(", ")}]}"""
+    val mPath = new Path(s"$dir/release.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write(manifest.getBytes(UTF_8)) finally out.close()
+    stats.map(_.records).sum
   }
 }

@@ -64,7 +64,13 @@ object PlanCheckMain {
       // sort-merge-shuffled
       "q93_corpus_mix" -> ("rate joins broadcast, no SMJ on corpus",
         p => { val f = p.split("== Initial Plan ==").head
-          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") }))
+          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") }),
+      // round 5: the centroid model is a 1-row broadcast — every join in
+      // train/score must be broadcast-shaped, the corpus never
+      // key-shuffled
+      "q95_quality_centroid" -> ("model joins broadcast-only",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("SortMergeJoin") && !f.contains("CartesianProduct") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

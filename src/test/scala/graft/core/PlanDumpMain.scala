@@ -49,7 +49,17 @@ object PlanDumpMain {
       "q87_substring_dedup" -> ("Exact substring dedup: content-keyed shuffle + per-doc windows",
         "The ExactSubstr formulation that distributes: duplicated-window anchors come from one hash agg + join on window content (the same shape as exact dedup), then span merging is islands-and-gaps inside PER-DOC windows — partitioned by doc_id, never global. A suffix array would be a single-machine structure; this plan's widest operation is the content-keyed exchange."),
       "q89_host_rank" -> ("PageRank iterations: host-cardinality joins only",
-        "Each unrolled iteration joins the edge list against the rank and degree tables — all host-cardinality — and hash-aggregates contributions by destination. The corpus appears once (edge derivation); iterations never touch it again. At web scale the rank table is ~10^9 rows against ~10^12 docs — the iteration cost is decoupled from corpus size."))
+        "Each unrolled iteration joins the edge list against the rank and degree tables — all host-cardinality — and hash-aggregates contributions by destination. The corpus appears once (edge derivation); iterations never touch it again. At web scale the rank table is ~10^9 rows against ~10^12 docs — the iteration cost is decoupled from corpus size."),
+      "q91_recrawl_age" -> ("Freshness re-crawl: index-sized max + broadcast policy join",
+        "Newest-capture-per-url is one map-side-combined max over the CDX capture table (never the corpus), and the per-host max-age policy joins as a broadcast — the staleness decision costs O(index), so re-crawl planning runs as often as freshness demands without touching page bodies."),
+      "q92_warc_revisit" -> ("Revisit decision: thin-key hash agg, bodies never shuffled for it",
+        "Payloads are digested in a narrow codegen'd sha1 pass; the first-capture-per-digest decision aggregates only (digest, ts, url) and joins back — the page bodies stay in their scan partitions. At archive scale this is the difference between shuffling the crawl's bytes and shuffling three thin columns."),
+      "q93_corpus_mix" -> ("Mixture sampling: rates broadcast, corpus never shuffled",
+        "Stratum token totals come from one map-side-combined aggregation over a policy-sized key space; the rate table and the weight table both broadcast, and selection is a codegen'd md5-bucket filter. No exchange touches the corpus — the mixture of a 100 TB release costs one scan."),
+      "q94_rank_budget" -> ("Rank-weighted waves: host-table windows, frontier broadcast-joined",
+        "PageRank, ntile tiers and quotas all live on the HOST table (bounded); the frontier pays one broadcast join to pick up its quota plus per-host windows for wave assignment — partitioned by host, never a global frontier sort."),
+      "q95_quality_centroid" -> ("Centroid classifier: one-agg training, 1-row broadcast model",
+        "Training is a single map-side-combined aggregation (per-class feature sums + counts — a handful of longs); the model is a 1-row broadcast and scoring is a codegen'd projection through it. The corpus is never key-shuffled for either phase — the distributable shape of every linear quality-classifier gate, at ANY corpus size."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")

@@ -206,6 +206,28 @@ class WarcSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(bodies.toMap == keptMap)
 
+      // the manifest (release.json, the commit point) verifies the mirror:
+      // per-file record counts, byte sizes, task-computed SHA-1s — all
+      // recomputed here independently from the files on disk
+      import spark.implicits._
+      val mJson = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$relDir/release.json")), UTF_8)
+      val m = spark.read.json(Seq(mJson).toDS())
+      assert(m.selectExpr("records").head().getLong(0) == n)
+      assert(m.selectExpr("as_of_increment").head().isNullAt(0))
+      val entries = m.selectExpr("explode(files) AS f")
+        .selectExpr("f.file", "f.records", "f.bytes", "f.sha1").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(entries.keySet == files.map(_.getName).toSet)
+      files.foreach { f =>
+        val (recs, bytes, sha1) = entries(f.getName)
+        assert(bytes == f.length)
+        assert(recs == WarcReader.records(new java.io.FileInputStream(f)).length.toLong)
+        val md = java.security.MessageDigest.getInstance("SHA-1")
+        md.update(java.nio.file.Files.readAllBytes(f.toPath))
+        assert(sha1 == md.digest().map(b => f"$b%02x").mkString)
+      }
+
       // time travel composes: a release cut AS OF the base increment is
       // byte-identical before and after a later increment lands
       val rel0a = java.nio.file.Files.createTempDirectory("graft-wet-rel0a").toString
