@@ -313,6 +313,12 @@ object CuratedPipeline {
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val t0 = System.nanoTime()
 
+    // the StreamingIngest empty-table discipline: an empty batch (e.g. a
+    // resumed job whose delta anti-joined to nothing) must be a no-op —
+    // committing a rows-less increment would poison compactKept's schema
+    // inference and grow the snapshot history for nothing
+    if (newBatch.isEmpty) return Seq.empty
+
     val (curVersion, incs) = indexState(outDir)
     require(curVersion >= 1, s"no curated index at $outDir — run() writes it (persistIndex=true)")
     val storedKeys = spark.read.parquet(indexBandsDir(outDir)).select(col("id"), col("band"))
@@ -638,7 +644,7 @@ object CuratedPipeline {
     * ∪ increment prefixes committed after the fold. Every row visible
     * exactly once at every point (the StreamingIngest.readAll discipline).
     */
-  private def keptRaw(spark: SparkSession, outDir: String): DataFrame = {
+  private[pipeline] def keptRaw(spark: SparkSession, outDir: String): DataFrame = {
     val st = keptCompactState(outDir)
     if (st.version == 0L) return spark.read.parquet(s"$outDir/data")
     val compacted = spark.read.parquet(compactDataDir(outDir, st.version))
@@ -688,7 +694,15 @@ object CuratedPipeline {
       val (v, incs) = indexState(outDir)
       if (v == 0L) Set(0L) else incs // index-less tables have only the base build
     }
-    val todo = (committedIncs -- st.folded).toSeq.sorted
+    // fold only prefixes that actually carry parquet files: a rows-less
+    // prefix (torn write, or a legacy empty increment) would fail schema
+    // inference on the data/ read — and there is nothing to fold anyway
+    val dataFs = new org.apache.hadoop.fs.Path(s"$outDir/data")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val todo = (committedIncs -- st.folded).toSeq.sorted.filter { k =>
+      Option(dataFs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$outDir/data/curate_inc=$k/*/*/*.parquet"))).exists(_.nonEmpty)
+    }
     if (todo.isEmpty) return st.version
     val prev =
       if (st.version == 0L) None

@@ -201,6 +201,26 @@ class CuratedPipelineSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq == Seq((40L, 1L)))
   }
 
+  test("an EMPTY increment is a no-op: no snapshot, no prefix, compactKept survives a legacy empty prefix") {
+    import spark.implicits._
+    val out = tmpDir()
+    CuratedPipeline.run(spark, corpus(), out, numBuckets = 8, snapshotGroups = 2, runId = "e0")
+    val kept0 = keptState(out)
+    val snaps0 = CuratedPipeline.keptSnapshots(out)
+    // a resumed job whose delta anti-joined to nothing curates an empty frame
+    val lineage = CuratedPipeline.curateIncrement(spark,
+      corpus().filter($"id" < 0), out, textCol = "text", numBuckets = 8, runId = "e1")
+    assert(lineage.isEmpty)
+    assert(CuratedPipeline.keptSnapshots(out) == snaps0, "no snapshot for an empty increment")
+    assert(keptState(out) == kept0)
+    // a legacy/torn rows-less prefix must not poison the fold's schema read
+    val emptyPrefix = new java.io.File(s"$out/data/curate_inc=7")
+    assert(emptyPrefix.mkdirs())
+    val v = CuratedPipeline.compactKept(spark, out, numBuckets = 8)
+    assert(v == 1L)
+    assert(keptState(out) == kept0, "fold across the empty prefix must not change the view")
+  }
+
   test("curateIncrement merges two existing components through a bridge doc (canonical + content)") {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog"
