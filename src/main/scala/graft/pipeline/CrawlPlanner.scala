@@ -32,7 +32,12 @@ object CrawlPlanner {
 
   final case class PlanStats(
       discovered: Long, blocked: Long, alreadySeen: Long,
-      scheduled: Long, maxWaves: Long, recrawls: Long)
+      scheduled: Long, maxWaves: Long, recrawls: Long,
+      // re-crawl rows whose host has no row in `sites` this cycle (no
+      // current robots to consent against) — deferred, NOT silently lost:
+      // without this count a freshness backlog for an unsitemapped host
+      // would vanish from every other stat
+      recrawlsNoSite: Long = 0L)
 
   /** The freshness rule, factored so q91 oracles the exact operator the
     * planner runs: urls whose NEWEST capture is at least `max_age_days`
@@ -90,12 +95,21 @@ object CrawlPlanner {
         explode(GraftFunctions.sitemapEntries(col("sitemap_xml"))).as("e"))
       .select(col("host"), col("robots_txt"), col("e.loc").as("url"),
         lit(false).as("__recrawl"))
-    val discovered = recrawl match {
-      case None => sitemapped
-      case Some(r) => sitemapped.unionByName(
-        r.select(col("host"), col("url"))
-          .join(broadcast(sites.select(col("host"), col("robots_txt"))), Seq("host"))
-          .select(col("host"), col("robots_txt"), col("url"), lit(true).as("__recrawl")))
+    val (discovered, nRecrawlNoSite) = recrawl match {
+      case None => (sitemapped, 0L)
+      case Some(r) =>
+        // LEFT join: a re-crawl for a host with no sites row this cycle has
+        // no current robots to consent against — it is DEFERRED (counted in
+        // recrawlsNoSite), never silently dropped by an inner join
+        val joined = r.select(col("host"), col("url"))
+          .join(broadcast(sites.select(col("host"), col("robots_txt"))), Seq("host"), "left")
+          .persist()
+        val noSite = joined.filter(col("robots_txt").isNull).count()
+        val d = sitemapped.unionByName(
+          joined.filter(col("robots_txt").isNotNull)
+            .select(col("host"), col("robots_txt"), col("url"), lit(true).as("__recrawl")))
+        joined.unpersist()
+        (d, noSite)
     }
 
     // consent: path-part of the url against the host's robots rules.
@@ -140,7 +154,8 @@ object CrawlPlanner {
     novel.unpersist()
 
     (planned, PlanStats(nDiscovered, nDiscovered - nAllowed,
-      nAllowed - nRecrawl - nFresh, nFresh + nRecrawl, maxWaves, nRecrawl))
+      nAllowed - nRecrawl - nFresh, nFresh + nRecrawl, maxWaves, nRecrawl,
+      recrawlsNoSite = nRecrawlNoSite))
   }
 
   /** Rank-weighted politeness: per-host wave CAPACITY scales with the

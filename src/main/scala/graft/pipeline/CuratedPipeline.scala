@@ -313,11 +313,16 @@ object CuratedPipeline {
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     val t0 = System.nanoTime()
 
-    // the StreamingIngest empty-table discipline: an empty batch (e.g. a
-    // resumed job whose delta anti-joined to nothing) must be a no-op —
-    // committing a rows-less increment would poison compactKept's schema
-    // inference and grow the snapshot history for nothing
-    if (newBatch.isEmpty) return Seq.empty
+    // Pin the batch ONCE, then test emptiness on the pinned frame: the
+    // batch's lineage often includes corpus-sized anti-joins (seen-ids,
+    // committed-urls), and a bare isEmpty would execute that whole plan a
+    // second time next to the bandKeys/append passes below. The
+    // StreamingIngest empty-table discipline: an empty batch (a resumed
+    // job whose delta anti-joined to nothing) is a no-op — committing a
+    // rows-less increment would poison compaction's schema inference and
+    // grow the snapshot history for nothing.
+    val batch = cp(newBatch)
+    if (batch.isEmpty) return Seq.empty
 
     val (curVersion, incs) = indexState(outDir)
     require(curVersion >= 1, s"no curated index at $outDir — run() writes it (persistIndex=true)")
@@ -325,7 +330,7 @@ object CuratedPipeline {
     val storedLabels = spark.read.parquet(indexLabelsDir(outDir, curVersion))
 
     // 1. band-key the batch (the only full pass over the new data)
-    val newKeys = cp(Dedup.bandKeys(newBatch, idCol, textCol, canonicalCol))
+    val newKeys = cp(Dedup.bandKeys(batch, idCol, textCol, canonicalCol))
 
     // 2. probe: stored components touching a collided band, contracted to
     // their label vertex. The semi join is the index lookup — stored keys
@@ -376,7 +381,7 @@ object CuratedPipeline {
     // its own curate_inc=<k> data partitions and its own
     // demoted/increment=<k> delete partition.
     val inc = if (incs.isEmpty) 1L else incs.max + 1L
-    val keptNew = newBatch
+    val keptNew = batch
       .join(newDocLabels.select(col("id").as("__cid"), col("comp").as("__comp")),
         col(idCol) === col("__cid"), "left")
       .filter(col("__comp").isNull || col("__comp") === col(idCol))
@@ -657,6 +662,13 @@ object CuratedPipeline {
         .map(_.getPath.getName).filter(_.startsWith("curate_inc="))
         .map(_.stripPrefix("curate_inc=").toLong)
         .filterNot(st.folded)
+        // same guard as compactKept: a rows-less prefix (torn write) has
+        // nothing to read and would fail schema inference on the
+        // data/ scan when it is the only live prefix
+        .filter { k =>
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$outDir/data/curate_inc=$k/*/*/*.parquet"))).exists(_.nonEmpty)
+        }
     if (liveIncs.isEmpty) compacted
     else compacted.unionByName(
       spark.read.parquet(s"$outDir/data")

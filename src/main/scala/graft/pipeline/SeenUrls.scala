@@ -97,6 +97,35 @@ object SeenUrls {
     }
   }
 
+  private def coversPath(cdxDir: String) = new Path(s"$cdxDir/_covers.json")
+
+  /** Declare that the CDX index at `cdxDir` covers the committed corpus at
+    * `outDir` AS OF NOW — written after (re)indexing the corpus's
+    * segments. [[filterNew]] trusts the index only while this token still
+    * matches the corpus's snapshot count: a commit after the declaration
+    * invalidates it, and confirmation falls back to the exact anti-join
+    * (the index must never DECIDE from stale coverage — a missed lookup
+    * on a post-index url would re-admit committed urls, the same
+    * false-negative class the Bloom token guards against).
+    */
+  def markCdxCovered(spark: SparkSession, outDir: String, cdxDir: String): Unit = {
+    val p = coversPath(cdxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"snapshots":${snapshotToken(outDir)}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def cdxCoverageToken(spark: SparkSession, cdxDir: String): Long = {
+    val p = coversPath(cdxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val m = java.util.regex.Pattern.compile("\"snapshots\":(\\d+)").matcher(meta)
+    if (m.find()) m.group(1).toLong else -1L
+  }
+
   /** Split a batch into (definitely-new, maybe-seen) by the sketch. The
     * filter is broadcast once; the predicate is a per-row probe.
     */
@@ -113,19 +142,22 @@ object SeenUrls {
     * DuckDB).
     *
     * @param cdxDir a CDX index over the committed corpus (built by
-    *        [[CdxIndex]] from the corpus's WARC segments). When given and
-    *        the maybe-seen sliver is small, confirmation runs as batched
-    *        index point probes — opening only the sliver's owner shards —
-    *        instead of scanning the corpus url column. The index must
-    *        cover exactly the committed corpus's urls; SeenUrlsSpec proves
-    *        CDX-routed ≡ plain anti-join.
+    *        [[CdxIndex]] from the corpus's WARC segments, coverage
+    *        declared via [[markCdxCovered]]). When given, CURRENT (its
+    *        coverage token matches the corpus's snapshot count — a stale
+    *        index is routed around, never trusted), and the maybe-seen
+    *        sliver is small, confirmation runs as batched index point
+    *        probes — opening only the sliver's owner shards — instead of
+    *        scanning the corpus url column. SeenUrlsSpec proves
+    *        CDX-routed ≡ plain anti-join, including the stale-index
+    *        fallback.
     */
   def filterNew(spark: SparkSession, outDir: String, batch: DataFrame,
       urlCol: String = "url", cdxDir: Option[String] = None): DataFrame = {
     val bf = load(spark, outDir).getOrElse(build(spark, outDir))
     val (definiteNew, maybeSeen) = splitByFilter(spark, bf, batch, urlCol)
     val confirmedNew = cdxDir match {
-      case Some(idx) =>
+      case Some(idx) if cdxCoverageToken(spark, idx) == snapshotToken(outDir) =>
         // the sliver is ~fpp×batch + true re-crawls: small enough to
         // collect and point-probe. A CDX urlkey is SURT-canonicalized
         // (many urls, one key), so equality is confirmed on the entry's
@@ -139,7 +171,7 @@ object SeenUrls {
             .select(col("url").as(urlCol)).distinct()
           maybeSeen.join(seen, Seq(urlCol), "left_anti")
         }
-      case None =>
+      case _ => // no index, or its coverage predates the latest commit
         maybeSeen.join(committedUrls(spark, outDir, urlCol), Seq(urlCol), "left_anti")
     }
     definiteNew.unionByName(confirmedNew)

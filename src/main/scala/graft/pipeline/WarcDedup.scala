@@ -37,19 +37,32 @@ object WarcDedup {
     * choice deterministic when two captures share a timestamp), and if
     * not, which capture does it refer to. Returns the input columns plus
     * `__digest` (hex sha1), `is_revisit`, `refers_to_url`, `refers_to_ts`.
+    *
+    * Shuffle discipline: the digest-keyed aggregation AND the
+    * firsts-join both run over the THIN (url, ts, digest) projection —
+    * at archive scale `firsts` is digest-cardinality (≈ corpus-sized,
+    * NOT broadcastable), so joining the full rows on digest would
+    * shuffle every page body. Bodies instead join the finished decision
+    * table on (url, warc_ts) — the corpus's natural key, co-located
+    * under a bucket(url) layout, and the only join a body row ever pays.
     */
   def classify(pages: Dataset[_]): DataFrame = {
     val keyed = pages.toDF()
       .withColumn("__digest", sha1(coalesce(col("html"), lit(Array.emptyByteArray))))
-    // thin projection → one map-side-combined agg; bodies stay put
-    val firsts = keyed.select(col("__digest"), col("warc_ts"), col("url"))
+    val thin = keyed.select(col("__digest"), col("warc_ts"), col("url"))
+    val firsts = thin
       .groupBy(col("__digest"))
       .agg(min(struct(col("warc_ts"), col("url"))).as("__f"))
-      .select(col("__digest"), col("__f.url").as("refers_to_url"),
+      .select(col("__digest").as("__fd"), col("__f.url").as("refers_to_url"),
         col("__f.warc_ts").as("refers_to_ts"))
-    keyed.join(firsts, Seq("__digest"))
-      .withColumn("is_revisit",
-        !(col("url") === col("refers_to_url") && col("warc_ts") === col("refers_to_ts")))
+    // thin × thin on digest → per-(url, ts) decision rows
+    val decisions = thin.join(firsts, col("__digest") === col("__fd"))
+      .select(col("url"), col("warc_ts"),
+        col("refers_to_url"), col("refers_to_ts"),
+        (!(col("url") === col("refers_to_url") &&
+          col("warc_ts") === col("refers_to_ts"))).as("is_revisit"))
+      .distinct() // an exact re-capture (same url+ts+payload) decides once
+    keyed.join(decisions, Seq("url", "warc_ts"))
   }
 
   /** @return (response records written, revisit records written) */

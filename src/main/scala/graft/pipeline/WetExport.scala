@@ -106,6 +106,12 @@ object WetExport {
       case Some(k) => CuratedPipeline.readKeptAsOf(spark, curatedDir, k, idCol)
       case None    => CuratedPipeline.readKept(spark, curatedDir, idCol)
     }
+    // clean the target first: a re-cut with fewer partitions would
+    // otherwise leave the previous attempt's tail segments on disk —
+    // present to every *.warc.wet.gz glob, absent from the new manifest
+    val dPath = new Path(dir)
+    val dFs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dFs.exists(dPath)) dFs.delete(dPath, true)
     val stats = writeWithStats(spark, kept.withColumn("extracted_text", col(textCol)), dir)
     val files = stats.map(s =>
       s"""{"file": "${s.file}", "records": ${s.records}, "bytes": ${s.bytes}, "sha1": "${s.sha1}"}""")

@@ -96,12 +96,17 @@ class CrawlPlannerSpec extends AnyFunSuite {
     val sites = Seq((host,
       s"<urlset><url><loc>https://$host/new/x1</loc></url></urlset>",
       "User-agent: *\nDisallow: /private/")).toDF("host", "sitemap_xml", "robots_txt")
+    // one re-crawl row for a host with NO sites row this cycle: it must be
+    // counted as deferred (recrawlsNoSite), never silently dropped
+    val staleWithOrphan = stale.unionByName(
+      Seq(("nosite.example", "https://nosite.example/a")).toDF("host", "url"))
     val (plan, stats) = CrawlPlanner.plan(spark, sites, out, perWave = 2,
-      recrawl = Some(stale))
-    assert(stats.discovered == 9) // 1 sitemap + 8 stale
+      recrawl = Some(staleWithOrphan))
+    assert(stats.discovered == 9) // 1 sitemap + 8 stale (orphan deferred)
     assert(stats.blocked == 3, "withdrawn consent must block stale re-crawls too")
     assert(stats.alreadySeen == 0)
     assert(stats.recrawls == 5)
+    assert(stats.recrawlsNoSite == 1)
     assert(stats.scheduled == 6)
     assert(stats.maxWaves == 3) // 6 urls, one host, 2 per wave
     val urls = plan.select($"url").as[String].collect().toSet

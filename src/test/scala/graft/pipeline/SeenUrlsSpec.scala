@@ -102,9 +102,11 @@ class SeenUrlsSpec extends AnyFunSuite {
     val idxDir = Files.createTempDirectory("graft-seen-idx").toString
     val committed = ExtractStage.generatePages(spark, 600, partitions = 8)
     ExtractPipeline.run(spark, committed, out, numBuckets = 8, snapshotGroups = 2, runId = "c")
-    // the corpus's own WARC segments → its CDX index (same url universe)
+    // the corpus's own WARC segments → its CDX index (same url universe),
+    // coverage DECLARED — filterNew only trusts a current declaration
     WarcWriter.write(spark, committed, warcDir)
     CdxIndex.build(spark, s"$warcDir/part-*", idxDir, shards = 4)
+    SeenUrls.markCdxCovered(spark, out, idxDir)
 
     val batch = ExtractStage.generatePages(spark, 1000, partitions = 8).toDF()
     val viaCdx = SeenUrls.filterNew(spark, out, batch, cdxDir = Some(idxDir))
@@ -114,5 +116,32 @@ class SeenUrlsSpec extends AnyFunSuite {
       Seq("url"), "left_anti").select("url").as[String].collect().toSet
     assert(viaCdx == viaAntiJoin, "CDX routing must not change the answer")
     assert(viaCdx.size == 400)
+
+    // STALE index: more rows commit after the coverage declaration. The
+    // index now misses urls that ARE committed — if the lookup still
+    // decided, those urls would be re-admitted as new (the false-negative
+    // class the token exists for). filterNew must route around the index
+    // and still equal the plain anti-join.
+    val more = ExtractStage.generatePages(spark, 800, partitions = 8)
+      .filter(_.url.hashCode % 2 == 0)
+    ExtractPipeline.run(spark, more, out, numBuckets = 8, snapshotGroups = 2, runId = "c2")
+    val batch2 = ExtractStage.generatePages(spark, 1200, partitions = 8).toDF()
+    val viaStaleCdx = SeenUrls.filterNew(spark, out, batch2, cdxDir = Some(idxDir))
+      .select("url").as[String].collect().toSet
+    val viaAntiJoin2 = batch2.join(
+      ExtractPipeline.readOutput(spark, out).select("url").distinct(),
+      Seq("url"), "left_anti").select("url").as[String].collect().toSet
+    assert(viaStaleCdx == viaAntiJoin2,
+      "a stale CDX index must fall back to the anti-join, not decide")
+    // re-index + re-declare → the point-probe path is trusted again
+    val warcDir2 = Files.createTempDirectory("graft-seen-warc2").toString
+    val idxDir2 = Files.createTempDirectory("graft-seen-idx2").toString
+    WarcWriter.write(spark, ExtractStage.generatePages(spark, 600, partitions = 8)
+      .union(more), warcDir2)
+    CdxIndex.build(spark, s"$warcDir2/part-*", idxDir2, shards = 4)
+    SeenUrls.markCdxCovered(spark, out, idxDir2)
+    val viaFreshCdx = SeenUrls.filterNew(spark, out, batch2, cdxDir = Some(idxDir2))
+      .select("url").as[String].collect().toSet
+    assert(viaFreshCdx == viaAntiJoin2)
   }
 }
