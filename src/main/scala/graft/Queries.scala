@@ -2303,7 +2303,250 @@ object Queries {
           "SELECT bucket, count(*) AS n_shards, CAST(sum(n) AS BIGINT) AS n_docs, " +
           "CAST(sum(tok) AS BIGINT) AS total_tokens, CAST(max(tok) AS BIGINT) AS max_shard_tokens, " +
           "CAST(sum(shard * ids) AS BIGINT) AS shard_id_checksum " +
-          "FROM per_shard GROUP BY bucket ORDER BY bucket")))
+          "FROM per_shard GROUP BY bucket ORDER BY bucket")),
+
+    // Per-host TEMPLATE removal (the site-boilerplate pass between
+    // extraction and dedup — CCNet's repeated-paragraph strip, the
+    // trafilatura/jusText nav-footer drop): a paragraph on a STRICT
+    // majority of a host's pages is the host's TEMPLATE, removed from
+    // EVERY page
+    // — deliberately different from q79's global dedup, which keeps the
+    // first copy of a repeated paragraph. Planted: every doc carries an
+    // 8-word per-host boilerplate prefix; the REAL TemplateStrip.strip
+    // (chunk → integer-threshold flag → in-order reassembly) runs in the
+    // oracled loop while DuckDB re-derives chunking, the `para_docs*1000
+    // > host_docs*500` rule, and the surviving text length
+    // independently. Scale shape: two map-side-combined hash aggs + one
+    // content-keyed join back; reassembly is per-row array work
+    // (sort_array), never a window.
+    Q("q97_host_template",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("host",
+            concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string")))
+          .withColumn("page", concat(
+            lit("nav home about contact "), col("host"),
+            lit(" copyright footer legal "), col("text")))
+        graft.pipeline.TemplateStrip.strip(docs, "host", "doc_id", "page")
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_paras")).cast("long").as("n_paras"),
+            sum(col("n_removed")).cast("long").as("n_removed"),
+            sum(length(col("clean_text"))).cast("long").as("clean_chars"),
+            sum(when(col("n_removed") > 0, col("doc_id")).otherwise(0L))
+              .cast("long").as("affected_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 'site' || (doc_id % 7)::VARCHAR AS host, " +
+          "'nav home about contact site' || (doc_id % 7)::VARCHAR || ' copyright footer legal ' || text AS page FROM documents), " +
+          "w AS (SELECT doc_id, host, string_split(page, ' ') AS wrd FROM d), " +
+          "u AS (SELECT doc_id, host, unnest(list_transform(generate_series(0, CAST(ceil(len(wrd)/8.0) AS INT)-1), " +
+          "i -> struct_pack(pidx := i, para := array_to_string(wrd[i*8+1:i*8+8], ' ')))) AS s FROM w), " +
+          "p AS (SELECT doc_id, host, s.pidx AS pidx, s.para AS para FROM u), " +
+          "hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM p GROUP BY 1), " +
+          "pd AS (SELECT host, para, count(DISTINCT doc_id) AS para_docs FROM p GROUP BY 1, 2), " +
+          "f AS (SELECT p.doc_id, p.host, p.para, " +
+          "(hd.host_docs >= 2 AND pd.para_docs * 1000 > hd.host_docs * 500) AS tmpl " +
+          "FROM p JOIN pd ON p.host = pd.host AND p.para = pd.para JOIN hd ON p.host = hd.host), " +
+          "perdoc AS (SELECT doc_id, host, count(*) AS n_paras, " +
+          "sum(CASE WHEN tmpl THEN 1 ELSE 0 END) AS n_removed, " +
+          "sum(CASE WHEN tmpl THEN 0 ELSE len(para) END) AS kept_len, " +
+          "sum(CASE WHEN tmpl THEN 0 ELSE 1 END) AS n_kept FROM f GROUP BY 1, 2) " +
+          "SELECT host, count(*) AS n_docs, CAST(sum(n_paras) AS BIGINT) AS n_paras, " +
+          "CAST(sum(n_removed) AS BIGINT) AS n_removed, " +
+          "CAST(sum(kept_len + CASE WHEN n_kept > 1 THEN n_kept - 1 ELSE 0 END) AS BIGINT) AS clean_chars, " +
+          "CAST(sum(CASE WHEN n_removed > 0 THEN doc_id ELSE 0 END) AS BIGINT) AS affected_id_sum " +
+          "FROM perdoc GROUP BY host ORDER BY host")),
+
+    // Epoch UP-sampling mix (The Pile's epochs-per-subset, the Llama data
+    // recipes): q93 caps oversubscribed strata at keep-all; real training
+    // mixes instead REPEAT a small high-weight source for multiple epochs.
+    // The budget is 2.5× the corpus (share-of-total, derived relationally
+    // — no literal token count to go stale across SFs), weights chosen so
+    // en/de run >1 epoch while fr downsamples — the REAL
+    // CorpusMixer.upsample (uncapped ppm rates → integer full epochs +
+    // md5-fractional remainder → explode) runs in the oracled loop while
+    // DuckDB re-derives rates and copy counts arithmetically, never
+    // exploding. Scale shape: rates broadcast; the explode multiplies
+    // rows (that IS the semantics) but introduces no shuffle.
+    Q("q98_epoch_mix",
+      (s, dir) => {
+        val weights = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row("en", 500000L), org.apache.spark.sql.Row("de", 200000L),
+            org.apache.spark.sql.Row("es", 150000L), org.apache.spark.sql.Row("fr", 40000L),
+            org.apache.spark.sql.Row("zh", 110000L)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("weight_ppm", org.apache.spark.sql.types.LongType))))
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        graft.pipeline.CorpusMixer.upsample(docs, "lang", weights, budgetSharePpm = 2500000L)
+          .groupBy(col("lang"))
+          .agg(max(col("rate_ppm")).cast("long").as("rate_ppm"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_rows"),
+            max(col("copy")).cast("long").as("max_copy"),
+            sum(col("n_tokens")).cast("long").as("epoch_tokens"),
+            sum(col("doc_id")).cast("long").as("row_id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+          "tot AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tok FROM d GROUP BY 1), " +
+          "g AS (SELECT CAST(sum(tok) AS BIGINT) AS grand FROM tot), " +
+          "w(lang, weight_ppm) AS (VALUES ('en', 500000), ('de', 200000), " +
+          "('es', 150000), ('fr', 40000), ('zh', 110000)), " +
+          "r AS (SELECT tot.lang, (((((g.grand * 2500000) // 1000000) * weight_ppm) // 1000000) * 1000000) // tok AS rate_ppm " +
+          "FROM tot JOIN w USING (lang) CROSS JOIN g), " +
+          "c AS (SELECT d.doc_id, d.lang, d.n_tokens, r.rate_ppm, " +
+          "(rate_ppm // 1000000) + CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) < (rate_ppm % 1000000) THEN 1 ELSE 0 END AS n_copies " +
+          "FROM d JOIN r USING (lang)) " +
+          "SELECT lang, CAST(max(rate_ppm) AS BIGINT) AS rate_ppm, " +
+          "count(CASE WHEN n_copies > 0 THEN 1 END) AS n_docs, " +
+          "CAST(sum(n_copies) AS BIGINT) AS n_rows, " +
+          "CAST(max(n_copies) - 1 AS BIGINT) AS max_copy, " +
+          "CAST(sum(n_copies * n_tokens) AS BIGINT) AS epoch_tokens, " +
+          "CAST(sum(n_copies * doc_id) AS BIGINT) AS row_id_sum " +
+          "FROM c GROUP BY lang ORDER BY lang")),
+
+    // Inverted-index retrieval with integer BM25 (k1=1.2, b=0.75 in
+    // ppk/ppm fixed-point; the idf term is BM25's idf ARGUMENT
+    // (N-df+0.5)/(df+0.5) kept linear instead of logged — a monotone
+    // per-term surrogate so both engines are bit-exact): the lexical
+    // complement of the embedding ANN path. Three keyword queries run
+    // through the REAL InvertedIndex.postings + searchTopK (whose
+    // TWO-PHASE top-k — per-hash-shard partial then global — is provably
+    // equal to the single-phase window DuckDB uses). Scale shape:
+    // postings = one explode + content-keyed agg; query terms broadcast;
+    // no task ever sorts a popular term's full candidate set.
+    Q("q99_bm25_topk",
+      (s, dir) => {
+        val posts = graft.pipeline.InvertedIndex.postings(t(s, dir, "documents"))
+        val qs = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, "spark"), org.apache.spark.sql.Row(1L, "join"),
+            org.apache.spark.sql.Row(2L, "window"), org.apache.spark.sql.Row(2L, "merge"),
+            org.apache.spark.sql.Row(2L, "scan"), org.apache.spark.sql.Row(3L, "customer")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+        graft.pipeline.InvertedIndex.searchTopK(posts, qs, k = 5)
+          .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        "WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+          "WHERE len(term) > 0 GROUP BY 1, 2), " +
+          "lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1), " +
+          "stats AS (SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens), " +
+          "q(qid, term) AS (VALUES (1, 'spark'), (1, 'join'), (2, 'window'), " +
+          "(2, 'merge'), (2, 'scan'), (3, 'customer')), " +
+          "dfq AS (SELECT term, count(*)::BIGINT AS df FROM p WHERE term IN (SELECT term FROM q) GROUP BY 1), " +
+          "cand AS (SELECT q.qid, p.doc_id, p.tf, l.dl, s.n_docs, s.total_dl, d.df " +
+          "FROM p JOIN q USING (term) JOIN dfq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s), " +
+          "sc AS (SELECT qid, doc_id, sum(" +
+          "(((2*(n_docs - df) + 1) * 1000000) // (2*df + 1)) * " +
+          "((2200 * tf * 1000) // (1000 * tf + (1200 * (250 + (750 * dl * n_docs) // total_dl)) // 1000)) " +
+          "// 1000) AS score FROM cand GROUP BY 1, 2), " +
+          "ranked AS (SELECT qid, doc_id, CAST(score AS BIGINT) AS score, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+          "SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // Unicode NFC canonicalization (UAX #15) — the first step before any
+    // content hashing on crawled text, where precomposed (é) and
+    // decomposed (e + U+0301) spellings arrive mixed: three planted
+    // variants per doc (NFC, NFD, plain ascii) are normalized by the
+    // NATIVE nfc_normalize Catalyst expression (codegen'd — §2.11) while
+    // DuckDB runs its own utf8proc-backed nfc_normalize; variants 0 and 1
+    // must emerge IDENTICAL (same marker_nfc value, same char counts) and
+    // the decomposed variant alone reports changes. Scale shape: one
+    // codegen'd projection, no shuffle beyond the final agg.
+    Q("q100_unicode_nfc",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val v = pmod(col("doc_id"), lit(3))
+        val marker = when(v === 0, lit("caf\u00e9 r\u00e9sum\u00e9"))
+          .when(v === 1, lit("cafe\u0301 re\u0301sume\u0301"))
+          .otherwise(lit("cafe resume"))
+        t(s, dir, "documents")
+          .withColumn("variant", v.cast("long"))
+          .withColumn("raw", concat(marker, lit(" "), col("text")))
+          .withColumn("nfc", call_function("nfc_normalize", col("raw")))
+          .groupBy(col("variant"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("raw"))).cast("long").as("raw_chars"),
+            sum(length(col("nfc"))).cast("long").as("nfc_chars"),
+            sum(when(col("nfc") =!= col("raw"), 1L).otherwise(0L))
+              .cast("long").as("n_changed"),
+            max(substring(col("nfc"), 1, 11)).as("marker_nfc"))
+          .orderBy(col("variant"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, doc_id % 3 AS variant, " +
+          "CASE doc_id % 3 " +
+          "WHEN 0 THEN 'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) " +
+          "WHEN 1 THEN 'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) " +
+          "ELSE 'cafe resume' END || ' ' || text AS raw FROM documents), " +
+          "n AS (SELECT doc_id, variant, raw, nfc_normalize(raw) AS nfc FROM d) " +
+          "SELECT CAST(variant AS BIGINT) AS variant, count(*) AS n_docs, " +
+          "CAST(sum(len(raw)) AS BIGINT) AS raw_chars, " +
+          "CAST(sum(len(nfc)) AS BIGINT) AS nfc_chars, " +
+          "CAST(sum(CASE WHEN nfc <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, " +
+          "max(substr(nfc, 1, 11)) AS marker_nfc " +
+          "FROM n GROUP BY variant ORDER BY variant")),
+
+    // Crawl-delay politeness timing (the de-facto robots extension Bing/
+    // Yandex honor): five planted per-host robots files — a plain delay,
+    // a multi-group file whose other-agent delay must be IGNORED, no
+    // delay (default applies), an invalid value skipped in favor of a
+    // valid one, and repeated directives where the LARGEST (most polite)
+    // wins — are parsed by the REAL RobotsTxt.crawlDelay inside
+    // CrawlPlanner.delayedSchedule, which stretches each host's wave
+    // schedule by its own delay; DuckDB starts from the planted
+    // delay truth and re-derives waves and fetch times independently.
+    // Scale shape: delays live on the host table (broadcast); the
+    // frontier pays one per-host window — per-host timelines never
+    // serialize on each other.
+    Q("q101_crawl_delay",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("host", concat(lit("h"), pmod(col("doc_id"), lit(5)).cast("string")))
+          .withColumn("url", concat(lit("https://"), col("host"),
+            lit(".com/p"), col("doc_id").cast("string")))
+        val sites = docs.select(col("host")).distinct()
+          .withColumn("robots_txt",
+            when(col("host") === "h0", lit("User-agent: *\nCrawl-delay: 10\nDisallow:"))
+              .when(col("host") === "h1",
+                lit("User-agent: otherbot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 2\nDisallow: /tmp/"))
+              .when(col("host") === "h2", lit("User-agent: *\nDisallow:"))
+              .when(col("host") === "h3", lit("User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5"))
+              .otherwise(lit("User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7")))
+        graft.pipeline.CrawlPlanner.delayedSchedule(
+            docs.select(col("host"), col("url"), col("doc_id")), sites,
+            perWave = 3, defaultDelaySec = 1L)
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            max(col("delay_s")).cast("long").as("delay_s"),
+            (max(col("wave")) + 1).cast("long").as("n_waves"),
+            max(col("fetch_at_s")).cast("long").as("last_fetch_s"),
+            sum(when(col("wave") === 0, col("doc_id")).otherwise(0L))
+              .cast("long").as("wave0_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH urls AS (SELECT doc_id, 'h' || (doc_id % 5)::VARCHAR AS host, " +
+          "'https://h' || (doc_id % 5)::VARCHAR || '.com/p' || doc_id::VARCHAR AS url FROM documents), " +
+          "d(host, delay_s) AS (VALUES ('h0', 10), ('h1', 2), ('h2', 1), ('h3', 5), ('h4', 7)), " +
+          "sched AS (SELECT u.doc_id, u.host, d.delay_s, " +
+          "(row_number() OVER (PARTITION BY u.host ORDER BY u.url) - 1) // 3 AS wave " +
+          "FROM urls u JOIN d USING (host)) " +
+          "SELECT host, count(*) AS n_urls, CAST(max(delay_s) AS BIGINT) AS delay_s, " +
+          "CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
+          "CAST(max(wave * delay_s) AS BIGINT) AS last_fetch_s, " +
+          "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
+          "FROM sched GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -31,7 +31,10 @@ object RobotsTxt {
     * the same agent named twice in the file is a common real-world
     * pattern — their rules MUST be combined, not first-group-wins.
     */
-  def parse(txt: String, agent: String = "*"): Vector[RobotRule] = {
+  def parse(txt: String, agent: String = "*"): Vector[RobotRule] =
+    matchingGroups(txt, agent).flatMap(_.rules)
+
+  private def matchingGroups(txt: String, agent: String): Vector[Group] = {
     val groups = parseGroups(txt)
     if (groups.isEmpty) return Vector.empty
     val a = agent.toLowerCase(java.util.Locale.ROOT)
@@ -40,15 +43,27 @@ object RobotsTxt {
         .filter(ua => ua != "*" && ua.nonEmpty && a.contains(ua))
         .map(_.length).foldLeft(0)(_ max _)
     val maxLen = groups.map(bestTokenLen).max
-    val matching =
-      if (maxLen > 0) groups.filter(bestTokenLen(_) == maxLen)
-      else groups.filter(_.agents.contains("*"))
-    matching.flatMap(_.rules)
+    if (maxLen > 0) groups.filter(bestTokenLen(_) == maxLen)
+    else groups.filter(_.agents.contains("*"))
   }
 
   /** `Sitemap:` URLs anywhere in the file (they are group-independent). */
   def sitemaps(txt: String): Vector[String] =
     lines(txt).collect { case ("sitemap", v) if v.nonEmpty => v }
+
+  /** `Crawl-delay:` seconds for `agent` — not in RFC 9309 but a de-facto
+    * extension major crawlers honor (Bing/Yandex document it; Google
+    * ignores it), and the input a politeness scheduler wants per host.
+    * Group selection is identical to [[parse]]; when several matching
+    * groups (or repeated directives inside one group) carry a delay, the
+    * LARGEST wins — the conservative reading of conflicting politeness
+    * asks. Invalid / negative values are ignored (forward compatibility,
+    * like any unknown directive).
+    */
+  def crawlDelay(txt: String, agent: String = "*"): Option[Long] = {
+    val ds = matchingGroups(txt, agent).flatMap(_.delays)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
 
   /** RFC 9309 §2.2.2: longest matching pattern wins; allow wins ties;
     * nothing matches → allowed.
@@ -103,7 +118,8 @@ object RobotsTxt {
 
   // ---------------------------------------------------------------- guts
 
-  private final case class Group(agents: Vector[String], rules: Vector[RobotRule])
+  private final case class Group(
+      agents: Vector[String], rules: Vector[RobotRule], delays: Vector[Long])
 
   private def lines(txt: String): Vector[(String, String)] =
     txt.split("\r?\n").toVector.flatMap { raw =>
@@ -121,11 +137,15 @@ object RobotsTxt {
     val out = Vector.newBuilder[Group]
     var agents = Vector.empty[String]
     var rules = Vector.empty[RobotRule]
+    var delays = Vector.empty[Long]
     var inRules = false // false while collecting consecutive User-agent lines
-    def flush(): Unit = if (agents.nonEmpty) { out += Group(agents, rules) }
+    def flush(): Unit = if (agents.nonEmpty) { out += Group(agents, rules, delays) }
     lines(txt).foreach {
       case ("user-agent", v) =>
-        if (inRules) { flush(); agents = Vector.empty; rules = Vector.empty; inRules = false }
+        if (inRules) {
+          flush(); agents = Vector.empty; rules = Vector.empty
+          delays = Vector.empty; inRules = false
+        }
         agents :+= v.toLowerCase(java.util.Locale.ROOT)
       case ("allow", v) if agents.nonEmpty =>
         inRules = true
@@ -133,7 +153,10 @@ object RobotsTxt {
       case ("disallow", v) if agents.nonEmpty =>
         inRules = true // an empty Disallow still closes the agent list
         if (v.nonEmpty) rules :+= RobotRule(allow = false, v)
-      case _ => // unknown directive (crawl-delay, sitemap, …): ignored here
+      case ("crawl-delay", v) if agents.nonEmpty =>
+        inRules = true // group-member directive: closes the agent list too
+        if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 9) delays :+= v.toLong
+      case _ => // unknown directive (sitemap, …): ignored here
     }
     flush()
     out.result()

@@ -205,6 +205,8 @@ object GraftFunctions {
       "extract_main_content", exprs => ExtractMainContent(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash48", exprs => SimHash48(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
     spark.udf.register("identify_pattern", identifyPattern)
     spark.udf.register("identify_pattern_confidence", identifyPatternConfidence)
     spark.udf.register("weight_to_kg", weightToKg)
@@ -238,6 +240,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHash48].getName, "simhash48"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash48(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(exprs.head)))
   }
 }
 

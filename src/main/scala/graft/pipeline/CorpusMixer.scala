@@ -41,6 +41,60 @@ object CorpusMixer {
       .select(col(stratumCol), col("rate_ppm"))
   }
 
+  /** Epoch rates for UP-sampling mixes (The Pile's epochs-per-subset,
+    * the Llama data recipes): like [[rates]] but UNCAPPED — a stratum
+    * whose desired share exceeds its size gets `rate_ppm > 1,000,000`,
+    * i.e. more than one training epoch of it. The budget is expressed as
+    * a share of the whole corpus (`budgetSharePpm` of total tokens,
+    * derived relationally from a 1-row aggregate — no driver collect),
+    * so the policy scales with the data instead of hard-coding a token
+    * count. Unlisted strata keep inner-join exclusion semantics.
+    */
+  def epochRates(docs: DataFrame, stratumCol: String, weights: DataFrame,
+      budgetSharePpm: Long, tokensCol: String): DataFrame = {
+    val totals = docs.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).cast("long").as("__tok"))
+    val grand = totals.agg(sum(col("__tok")).cast("long").as("__grand"))
+    totals.join(broadcast(weights), Seq(stratumCol))
+      .crossJoin(broadcast(grand))
+      .withColumn("__desired",
+        expr(s"((__grand * $budgetSharePpm) div 1000000) * weight_ppm div 1000000"))
+      .withColumn("rate_ppm", expr("(__desired * 1000000) div __tok"))
+      .select(col(stratumCol), col("rate_ppm"))
+  }
+
+  /** Deterministic copy counts under an epoch mix: every doc gets
+    * `rate_ppm div 10⁶` full epochs, plus one more iff its md5 bucket
+    * falls below the fractional remainder — so the stratum lands on
+    * `weight × budget` tokens in expectation while staying a pure
+    * function of (id, rates).
+    */
+  def copyCounts(docs: DataFrame, stratumCol: String, weights: DataFrame,
+      budgetSharePpm: Long, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    val r = epochRates(docs, stratumCol, weights, budgetSharePpm, tokensCol)
+    docs.join(broadcast(r), Seq(stratumCol))
+      .withColumn("__sel", pmod(
+        expr(s"cast(conv(substr(md5(cast($idCol AS string)), 1, 8), 16, 10) AS BIGINT)"),
+        lit(1000000L)))
+      .withColumn("n_copies",
+        expr("rate_ppm div 1000000") +
+          when(col("__sel") < pmod(col("rate_ppm"), lit(1000000L)), 1L).otherwise(0L))
+      .drop("__sel")
+  }
+
+  /** The up-sampled corpus itself: one row per (doc, copy) with a 0-based
+    * `copy` index — what shard packing consumes for a multi-epoch source.
+    * Scale shape: the explode multiplies rows (that IS the semantics) but
+    * introduces no shuffle; rates arrive by broadcast.
+    */
+  def upsample(docs: DataFrame, stratumCol: String, weights: DataFrame,
+      budgetSharePpm: Long, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame =
+    copyCounts(docs, stratumCol, weights, budgetSharePpm, idCol, tokensCol)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+
   /** The mixture sample: input rows plus `rate_ppm` and a deterministic
     * `kept` flag — doc selected iff its md5 bucket (of `idCol`, over 10⁶)
     * falls below the stratum's rate. Callers filter on `kept` for the

@@ -158,6 +158,36 @@ object CrawlPlanner {
       recrawlsNoSite = nRecrawlNoSite))
   }
 
+  /** Politeness TIMING: waves become fetch TIMES using each host's robots
+    * `Crawl-delay` (the de-facto extension parsed by
+    * [[graft.core.html.RobotsTxt.crawlDelay]]; hosts that declare none
+    * use `defaultDelaySec`). Wave w of a host fetches at `w × delay`
+    * seconds into the cycle, so a slow host's schedule stretches without
+    * holding any other host back — per-host timelines are independent by
+    * construction. Scale shape: delays live on the host table (broadcast);
+    * the frontier pays one per-host window, the [[plan]] discipline.
+    *
+    * @param frontier (host, url) rows to schedule
+    * @param sites    (host, robots_txt) — the per-host robots bodies
+    * @return frontier plus (delay_s, wave, fetch_at_s)
+    */
+  def delayedSchedule(frontier: DataFrame, sites: DataFrame,
+      perWave: Int = 3, defaultDelaySec: Long = 1L,
+      agent: String = "*"): DataFrame = {
+    val delayUdf = udf((txt: String) =>
+      if (txt == null) None
+      else graft.core.html.RobotsTxt.crawlDelay(txt, agent))
+    val delays = sites.select(col("host"),
+      coalesce(delayUdf(col("robots_txt")), lit(defaultDelaySec))
+        .cast("long").as("delay_s"))
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    frontier.join(broadcast(delays), Seq("host"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("wave", expr(s"cast((__rn - 1) div $perWave AS bigint)"))
+      .withColumn("fetch_at_s", col("wave") * col("delay_s"))
+      .drop("__rn")
+  }
+
   /** Rank-weighted politeness: per-host wave CAPACITY scales with the
     * host's PageRank tier, so high-authority hosts drain their frontier
     * in fewer waves — how production crawlers allocate budget

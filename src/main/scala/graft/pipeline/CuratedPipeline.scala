@@ -543,6 +543,13 @@ object CuratedPipeline {
     *                      BEFORE dedup ([[graft.functions.GraftFunctions.piiScrub]],
     *                      q75's operator), adding a `pii_redactions` count
     *                      column; the released corpus never carries raw PII
+    * @param templateStrip remove per-host TEMPLATE paragraphs
+    *                      ([[TemplateStrip]], q97's operator — strict-
+    *                      majority boilerplate like nav/footer blocks)
+    *                      after the admission gates and BEFORE scrub/dedup,
+    *                      adding a `template_removed` count column; the
+    *                      minTextLength gate re-applies afterwards so a
+    *                      page that was ALL template leaves the corpus
     * @return (extract-stage lineage, curate-stage lineage) for THIS run
     */
   def runFromPages(spark: SparkSession, pages: Dataset[Page], outDir: String,
@@ -550,6 +557,7 @@ object CuratedPipeline {
       minTextLength: Int = 1, minQuality: Double = 0.0,
       honorNoindex: Boolean = true, clusterByCanonical: Boolean = true,
       gopherGate: Boolean = false, scrubPii: Boolean = false,
+      templateStrip: Boolean = false,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
@@ -568,13 +576,31 @@ object CuratedPipeline {
       // re-derived by the curate stage (and numBuckets may differ)
       .drop("part_bucket", "warc_day")
       .withColumn("id", xxhash64(col("url")))
+    // template strip BEFORE scrub/dedup: boilerplate must not feed band
+    // keys (two pages of one host differing only in content would share
+    // most template shingles), and the released text is the stripped text
+    val gatedTemplated =
+      if (!templateStrip) gatedBase
+      else {
+        val withHost = gatedBase.withColumn("__host",
+          regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1))
+        val stripped = TemplateStrip
+          .strip(withHost, "__host", "id", "extracted_text")
+          .select(col("id"), col("clean_text"),
+            col("n_removed").as("template_removed"))
+        gatedBase.join(stripped, Seq("id"))
+          .withColumn("extracted_text", col("clean_text"))
+          .drop("clean_text")
+          // a page that was ALL template is boilerplate, not content
+          .filter(length(col("extracted_text")) >= minTextLength)
+      }
     // scrub BEFORE dedup: released text must be the deduped text, and two
     // docs differing only in their planted PII dedupe post-redaction
     val gated =
-      if (!scrubPii) gatedBase
+      if (!scrubPii) gatedTemplated
       else {
         val s = graft.functions.GraftFunctions.piiScrub(col("extracted_text"))
-        gatedBase
+        gatedTemplated
           .withColumn("__scrub", s)
           .withColumn("extracted_text", col("__scrub.clean"))
           .withColumn("pii_redactions",

@@ -70,7 +70,33 @@ object PlanCheckMain {
       // key-shuffled
       "q95_quality_centroid" -> ("model joins broadcast-only",
         p => { val f = p.split("== Initial Plan ==").head
-          !f.contains("SortMergeJoin") && !f.contains("CartesianProduct") }))
+          !f.contains("SortMergeJoin") && !f.contains("CartesianProduct") }),
+      // round 5b: template detection is two hash aggs + a content-keyed
+      // join back; reassembly is per-row array work — a global window or
+      // cartesian would serialize the host's pages through one task
+      "q97_host_template" -> ("no window, no cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") }),
+      // round 5b: epoch rates are policy-sized broadcasts; the corpus is
+      // never key-shuffled (the explode multiplies rows, not partitions)
+      "q98_epoch_mix" -> ("rate joins broadcast, no SMJ on corpus",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") }),
+      // round 5b: query terms and per-term df broadcast into the postings
+      // scan; every window is partitioned ((qid) or (qid, shard)) — a
+      // partition-less window would pull all candidates to one task
+      "q99_bm25_topk" -> ("query joins broadcast, windows partitioned",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5b: NFC is one codegen'd projection over the scan
+      "q100_unicode_nfc" -> ("nfc is join-free projection",
+        p => !p.split("== Initial Plan ==").head.contains("Join")),
+      // round 5b: per-host delays broadcast; waves are per-host windows
+      "q101_crawl_delay" -> ("delays broadcast, per-host windows only",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

@@ -101,4 +101,28 @@ class RobotsSpec extends AnyFunSuite {
     assert(RobotsTxt.sitemaps(txt) ==
       Vector("https://ex.com/sitemap.xml", "https://ex.com/sitemap2.xml"))
   }
+
+  test("crawl-delay: group selection, largest-wins, invalid ignored, absent → None") {
+    // plain delay in the * group
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 10\nDisallow:") == Some(10L))
+    // the OTHER agent's delay must not leak into the * decision
+    val multi = "User-agent: otherbot\nCrawl-delay: 99\n\nUser-agent: *\nCrawl-delay: 2\nDisallow: /tmp/"
+    assert(RobotsTxt.crawlDelay(multi) == Some(2L))
+    assert(RobotsTxt.crawlDelay(multi, agent = "otherbot") == Some(99L))
+    // repeated directives: the largest (most polite) wins
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 3\nCrawl-delay: 7") == Some(7L))
+    // invalid values are ignored like any unknown directive
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5") == Some(5L))
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: -1") == None)
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 9999999999999") == None)
+    // no delay, or delay outside any group → None
+    assert(RobotsTxt.crawlDelay("User-agent: *\nDisallow:") == None)
+    assert(RobotsTxt.crawlDelay("Crawl-delay: 8") == None)
+    // a crawl-delay line CLOSES the agent list like allow/disallow does
+    val closing = "User-agent: a\nCrawl-delay: 4\nUser-agent: b\nDisallow: /x"
+    assert(RobotsTxt.crawlDelay(closing, agent = "a") == Some(4L))
+    assert(RobotsTxt.crawlDelay(closing, agent = "b") == None)
+    assert(RobotsTxt.parse(closing, agent = "b") == Vector(RobotRule(allow = false, "/x")))
+    assert(RobotsTxt.parse(closing, agent = "a") == Vector.empty)
+  }
 }

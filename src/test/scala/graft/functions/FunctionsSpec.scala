@@ -170,6 +170,29 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach { case (im, av) => assert(math.abs(im - av) < 1e-9) }
   }
 
+  test("nfc_normalize: decomposed == precomposed after NFC, idempotent, codegen-safe") {
+    import spark.implicits._
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val rows = Seq(
+      ("pre", composed), ("dec", decomposed), ("ascii", "plain text"),
+      ("cjk", "中文 日本語"), ("empty", ""), ("nul", null))
+      .toDF("k", "v")
+      .withColumn("n", call_function("nfc_normalize", $"v"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(rows("pre") == Some(composed))
+    assert(rows("dec") == Some(composed)) // the collapse under test
+    assert(rows("ascii") == Some("plain text"))
+    assert(rows("cjk") == Some("中文 日本語"))
+    assert(rows("empty") == Some(""))
+    assert(rows("nul") == None)
+    // idempotent + core parity
+    assert(graft.core.text.UnicodeNorm.nfc(graft.core.text.UnicodeNorm.nfc(decomposed)) == composed)
+    // SQL path (interpreted + codegen'd projections agree)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('$decomposed')").head().getString(0)
+    assert(viaSql == composed)
+  }
+
   test("GraftExtensions injects the native expression") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)

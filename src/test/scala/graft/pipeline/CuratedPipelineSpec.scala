@@ -116,6 +116,43 @@ class CuratedPipelineSpec extends AnyFunSuite {
       "honorNoindex=false must keep (non-duplicate) noindex pages")
   }
 
+  test("templateStrip removes per-host boilerplate before dedup; all-template pages leave the corpus") {
+    import spark.implicits._
+    val footer = "nav home about contact press terms privacy logout"
+    def content(i: Int) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i"
+    // S4 fallback pages (empty html → the text column is the extraction),
+    // two hosts, every page carrying the host footer, plus one page that
+    // IS only the footer
+    val rows = (1 to 8).map { i =>
+      val host = if (i <= 4) "a.example" else "b.example"
+      Page(s"https://$host/p$i", ts("2024-03-01 10:00:00"),
+        Array.empty[Byte], s"$footer ${content(i)}", "en")
+    } :+ Page("https://a.example/only-footer", ts("2024-03-01 10:00:00"),
+      Array.empty[Byte], footer, "en")
+    val pages = spark.createDataset(rows)
+
+    val out = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out,
+      numBuckets = 4, snapshotGroups = 1, runId = "tmpl", templateStrip = true)
+    val kept = CuratedPipeline.readKept(spark, s"$out/curated")
+      .select($"url", $"extracted_text").as[(String, String)].collect().toMap
+    // the all-template page left the corpus; every kept text is pure content
+    assert(kept.size == 8, s"expected 8 kept docs, got ${kept.keySet}")
+    (1 to 8).foreach { i =>
+      val host = if (i <= 4) "a.example" else "b.example"
+      assert(kept(s"https://$host/p$i") == content(i))
+    }
+    // without the flag the footer survives (and the footer-only page stays)
+    val outOff = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outOff,
+      numBuckets = 4, snapshotGroups = 1, runId = "tmpl-off")
+    val keptOff = CuratedPipeline.readKept(spark, s"$outOff/curated")
+      .select($"extracted_text").as[String].collect()
+    // (kept COUNT is not asserted here: with the footer in place the docs
+    // share ~half their shingles and LSH may legitimately band some)
+    assert(keptOff.nonEmpty && keptOff.forall(_.contains(footer)))
+  }
+
   test("site-declared canonical groups collapse to one kept doc in the composed pipeline") {
     import spark.implicits._
     val n = 600L

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index retrieval ([[InvertedIndex]]): postings correctness and
+  * the load-bearing claim behind q99's scale story — the two-phase
+  * (per-shard partial → global) top-k equals the single-phase global
+  * window exactly, rank for rank.
+  */
+class InvertedIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.sql.Row
+
+  private def df(rows: Seq[Row], fields: (String, org.apache.spark.sql.types.DataType)*) =
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+      fields.map(f => org.apache.spark.sql.types.StructField(f._1, f._2)).toSeq))
+
+  test("postings: tf per (term, doc), empty tokens dropped") {
+    val docs = df(Seq(
+      Row(1L, "a b  a c"),      // double space → empty token, must not index
+      Row(2L, "b b b")),
+      ("doc_id", LongType), ("text", StringType))
+    val p = InvertedIndex.postings(docs).collect()
+      .map(r => ((r.getAs[String]("term"), r.getAs[Long]("doc_id")), r.getAs[Long]("tf"))).toMap
+    assert(p == Map(("a", 1L) -> 2L, ("b", 1L) -> 1L, ("c", 1L) -> 1L, ("b", 2L) -> 3L))
+  }
+
+  test("two-phase top-k ≡ single-phase global window, rank for rank") {
+    // deterministic synthetic corpus: enough docs that candidates spread
+    // across all 64 hash shards, with deliberate score ties
+    val words = Array("join", "scan", "merge", "sort", "hash", "read")
+    val docs = df((0L until 500L).map { i =>
+      val sb = new StringBuilder
+      var k = 0
+      while (k < 20) { sb.append(words(((i * 7 + k * 3) % 6).toInt)).append(' '); k += 1 }
+      Row(i, sb.toString.trim)
+    }, ("doc_id", LongType), ("text", StringType))
+    val posts = InvertedIndex.postings(docs).cache()
+    val qs = df(Seq(Row(1L, "join"), Row(1L, "hash"), Row(2L, "sort")),
+      ("qid", LongType), ("term", StringType))
+    val twoPhase = InvertedIndex.searchTopK(posts, qs, k = 10)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+
+    // independent single-phase reference over the same scored set
+    val lens = posts.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl"))
+    val dfQ = posts.join(qs.select("term").distinct(), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val scored = posts.join(qs, Seq("term")).join(dfQ, Seq("term"))
+      .join(lens, Seq("doc_id")).crossJoin(stats)
+      .withColumn("norm_ppk", expr("250L + (750L * dl * n_docs) div total_dl"))
+      .withColumn("idf_ppm", expr("((2L*(n_docs - df) + 1L) * 1000000L) div (2L*df + 1L)"))
+      .withColumn("sat_ppk",
+        expr("(2200L * tf * 1000L) div (1000L * tf + (1200L * norm_ppk) div 1000L)"))
+      .withColumn("contrib", expr("(idf_ppm * sat_ppk) div 1000L"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score"))
+    val single = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+
+    assert(twoPhase.sameElements(single))
+    assert(twoPhase.length == 20) // 2 qids × k
+  }
+
+  test("a query term absent from the corpus contributes nothing; unmatched query returns no rows") {
+    val docs = df(Seq(Row(1L, "x y"), Row(2L, "y z")),
+      ("doc_id", LongType), ("text", StringType))
+    val posts = InvertedIndex.postings(docs)
+    val qs = df(Seq(Row(1L, "x"), Row(1L, "nosuchterm"), Row(2L, "nosuchterm")),
+      ("qid", LongType), ("term", StringType))
+    val out = InvertedIndex.searchTopK(posts, qs, k = 5).collect()
+    assert(out.forall(_.getAs[Long]("qid") == 1L))
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+  }
+}
