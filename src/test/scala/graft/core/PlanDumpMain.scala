@@ -59,7 +59,13 @@ object PlanDumpMain {
       "q94_rank_budget" -> ("Rank-weighted waves: host-table windows, frontier broadcast-joined",
         "PageRank, ntile tiers and quotas all live on the HOST table (bounded); the frontier pays one broadcast join to pick up its quota plus per-host windows for wave assignment — partitioned by host, never a global frontier sort."),
       "q95_quality_centroid" -> ("Centroid classifier: one-agg training, 1-row broadcast model",
-        "Training is a single map-side-combined aggregation (per-class feature sums + counts — a handful of longs); the model is a 1-row broadcast and scoring is a codegen'd projection through it. The corpus is never key-shuffled for either phase — the distributable shape of every linear quality-classifier gate, at ANY corpus size."))
+        "Training is a single map-side-combined aggregation (per-class feature sums + counts — a handful of longs); the model is a 1-row broadcast and scoring is a codegen'd projection through it. The corpus is never key-shuffled for either phase — the distributable shape of every linear quality-classifier gate, at ANY corpus size."),
+      "q97_host_template" -> ("Template strip: two hash aggs + a content-keyed join back, no window",
+        "Template detection is per-(host,para) and per-host distinct counts — both map-side combined — and the decision joins back on the (host, para) key; reassembly is sort_array inside a per-doc hash aggregate, so surviving text re-forms without any window or global sort. The widest operation is the content-keyed exchange, the same shape as paragraph dedup (q79) which this pass composes with."),
+      "q98_epoch_mix" -> ("Epoch up-sampling: broadcast rates, explode multiplies rows not partitions",
+        "Stratum totals and the grand total are policy-sized aggregates; rates and weights broadcast (PlanCheckMain asserts no SortMergeJoin reaches the corpus). The multi-epoch explode generates copies inside the scan partitions — row multiplication without a single extra exchange, which is what makes a 3-epoch source no more than 3× one scan at any corpus size."),
+      "q99_bm25_topk" -> ("Inverted-index search: broadcast query terms, two-phase top-k",
+        "Query terms and their df table broadcast into the postings scan, so only matching postings leave it; per-(query, doc) scores partial-aggregate before one shuffle. Top-k is two-phase — row_number inside 64 hash shards of each query's candidates, then a global rank over the ≤64k survivors — provably equal to the single-phase window while no task ever sorts a popular term's full candidate list."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
