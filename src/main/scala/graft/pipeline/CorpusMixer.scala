@@ -34,10 +34,15 @@ object CorpusMixer {
       budgetTokens: Long, tokensCol: String): DataFrame = {
     val totals = docs.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("__tok"))
+    // products ride decimal(38,0): budget×weight and desired×10⁶ exceed
+    // Long at ~10¹³ corpus tokens (the quotients always fit — `div`
+    // truncates the decimal product exactly, probed in this codebase)
     totals.join(broadcast(weights), Seq(stratumCol))
-      .withColumn("__desired", expr(s"($budgetTokens * weight_ppm) div 1000000"))
+      .withColumn("__desired",
+        expr(s"(cast($budgetTokens AS decimal(38,0)) * weight_ppm) div 1000000"))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("(__desired * 1000000) div __tok")))
+        least(lit(1000000L),
+          expr("(cast(__desired AS decimal(38,0)) * 1000000) div __tok")))
       .select(col(stratumCol), col("rate_ppm"))
   }
 
@@ -55,11 +60,16 @@ object CorpusMixer {
     val totals = docs.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("__tok"))
     val grand = totals.agg(sum(col("__tok")).cast("long").as("__grand"))
+    // decimal(38,0) products for the same reason as [[rates]]: grand×share
+    // is ~6×10¹⁹ at a 100 TB corpus — far past Long — while every quotient
+    // (desired tokens, ppm rates) fits comfortably
     totals.join(broadcast(weights), Seq(stratumCol))
       .crossJoin(broadcast(grand))
-      .withColumn("__desired",
-        expr(s"((__grand * $budgetSharePpm) div 1000000) * weight_ppm div 1000000"))
-      .withColumn("rate_ppm", expr("(__desired * 1000000) div __tok"))
+      .withColumn("__desired", expr(
+        s"cast((cast(__grand AS decimal(38,0)) * $budgetSharePpm) div 1000000 " +
+          "AS decimal(38,0)) * weight_ppm div 1000000"))
+      .withColumn("rate_ppm",
+        expr("(cast(__desired AS decimal(38,0)) * 1000000) div __tok"))
       .select(col(stratumCol), col("rate_ppm"))
   }
 

@@ -61,12 +61,17 @@ object InvertedIndex {
       .join(broadcast(dfQ), Seq("term"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("norm_ppk", expr("250L + (750L * dl * n_docs) div total_dl"))
+      // fixed-point products ride decimal(38,0) where they exceed Long at
+      // a 10¹²-doc index (dl×N, (N-df)×10⁶×sat); the quotients — ppk
+      // norms, ppm idf, per-term contributions — always fit
+      .withColumn("norm_ppk",
+        expr("250L + (cast(750 AS decimal(38,0)) * dl * n_docs) div total_dl"))
       .withColumn("idf_ppm",
-        expr("((2L*(n_docs - df) + 1L) * 1000000L) div (2L*df + 1L)"))
+        expr("(cast(2*(n_docs - df) + 1 AS decimal(38,0)) * 1000000) div (2L*df + 1L)"))
       .withColumn("sat_ppk",
         expr("(2200L * tf * 1000L) div (1000L * tf + (1200L * norm_ppk) div 1000L)"))
-      .withColumn("contrib", expr("(idf_ppm * sat_ppk) div 1000L"))
+      .withColumn("contrib",
+        expr("(cast(idf_ppm AS decimal(38,0)) * sat_ppk) div 1000"))
     val scored = cand.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).cast("long").as("score"))
     val wLocal = Window.partitionBy(col("qid"), col("__shard"))
