@@ -41,7 +41,7 @@ object Bench {
   val tableBuilders: Seq[String] = Seq(
     "q59_point_read_pruned", "q62_curated_corpus", "q65_stream_compacted",
     "q68_warc_cycle", "q74_incremental_curation", "q78_gopher_curated",
-    "q46_dedup_keep")
+    "q46_dedup_keep", "q102_bm25_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

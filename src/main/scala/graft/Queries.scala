@@ -533,6 +533,23 @@ object Queries {
     */
   private val curatedCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Committed BM25 index over the documents table, built INCREMENTALLY
+    * (generation 0 = even doc_ids, generation 1 = appended odd doc_ids) so
+    * q102 proves build ∘ append ≡ one full-corpus index. Session-cached
+    * like [[curatedOut]].
+    */
+  private val bm25Cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexOut(s: SparkSession, dir: String): String =
+    bm25Cache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+      val docs = t(s, dir, "documents")
+      graft.pipeline.InvertedIndex.append(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), out)
+      graft.pipeline.InvertedIndex.append(s,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), out)
+      out
+    })
+
   private def curatedOut(s: SparkSession, dir: String): String =
     curatedCache.computeIfAbsent(s.hashCode() + "|" + dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
@@ -2546,7 +2563,100 @@ object Queries {
           "CAST(max(wave) + 1 AS BIGINT) AS n_waves, " +
           "CAST(max(wave * delay_s) AS BIGINT) AS last_fetch_s, " +
           "CAST(sum(CASE WHEN wave = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS wave0_id_sum " +
-          "FROM sched GROUP BY host ORDER BY host")))
+          "FROM sched GROUP BY host ORDER BY host")),
+
+    // The COMMITTED inverted index (q99's lexical search persisted the way
+    // this engine persists every index — LSM generations + a manifest
+    // commit line): the index is built INCREMENTALLY — generation 0 from
+    // the even doc_ids, generation 1 APPENDED from the odds, O(new data),
+    // nothing rewritten — and searched through InvertedIndex.read across
+    // committed generations. DuckDB re-derives single-phase BM25 over the
+    // WHOLE corpus at once, so a green row proves build ∘ append ≡ one
+    // full-corpus index, ranks and integer scores included. Scale shape:
+    // each append scans only its batch; the search reads a term-sorted
+    // parquet index, never the corpus.
+    Q("q102_bm25_indexed",
+      (s, dir) => {
+        val posts = graft.pipeline.InvertedIndex.read(s, bm25IndexOut(s, dir))
+        val qs = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, "data"), org.apache.spark.sql.Row(1L, "table"),
+            org.apache.spark.sql.Row(2L, "hash"), org.apache.spark.sql.Row(2L, "sort"),
+            org.apache.spark.sql.Row(2L, "group"), org.apache.spark.sql.Row(3L, "slow")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+        graft.pipeline.InvertedIndex.searchTopK(posts, qs, k = 5)
+          .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        "WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+          "WHERE len(term) > 0 GROUP BY 1, 2), " +
+          "lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY 1), " +
+          "stats AS (SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM lens), " +
+          "q(qid, term) AS (VALUES (1, 'data'), (1, 'table'), (2, 'hash'), " +
+          "(2, 'sort'), (2, 'group'), (3, 'slow')), " +
+          "dfq AS (SELECT term, count(*)::BIGINT AS df FROM p WHERE term IN (SELECT term FROM q) GROUP BY 1), " +
+          "cand AS (SELECT q.qid, p.doc_id, p.tf, l.dl, s.n_docs, s.total_dl, d.df " +
+          "FROM p JOIN q USING (term) JOIN dfq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s), " +
+          "sc AS (SELECT qid, doc_id, sum(" +
+          "(((2*(n_docs - df) + 1) * 1000000) // (2*df + 1)) * " +
+          "((2200 * tf * 1000) // (1000 * tf + (1200 * (250 + (750 * dl * n_docs) // total_dl)) // 1000)) " +
+          "// 1000) AS score FROM cand GROUP BY 1, 2), " +
+          "ranked AS (SELECT qid, doc_id, CAST(score AS BIGINT) AS score, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+          "SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // Sitemap-lastmod freshness (the site-declared change signal — the
+    // complement of q91's age-based staleness): per-doc planted sitemap
+    // XML with four lastmod variants — newer date, older date, newer
+    // datetime-with-offset, and EXACTLY-equal date (strict > keeps it
+    // out) — parsed by the REAL SitemapXml engine and compared against a
+    // fixed capture timestamp by CrawlPlanner.modifiedSince; DuckDB
+    // re-derives the epoch comparison from the planted variants directly.
+    // Scale shape: newest-capture is one map-side max over the capture
+    // table; the lastmod parse is a projection; one (host,url)-keyed join.
+    Q("q103_sitemap_modified",
+      (s, dir) => {
+        val v = pmod(col("doc_id"), lit(4))
+        val host = concat(lit("m"), pmod(col("doc_id"), lit(5)).cast("string"))
+        val url = concat(lit("https://"), host, lit(".com/p"), col("doc_id").cast("string"))
+        val lastmod = when(v === 0, lit("2024-06-01"))
+          .when(v === 1, lit("2024-01-01"))
+          .when(v === 2, lit("2024-03-01T12:00:00Z"))
+          .otherwise(lit("2024-03-01"))
+        val xml = concat(lit("<urlset><url><loc>"), url,
+          lit("</loc><lastmod>"), lastmod, lit("</lastmod></url></urlset>"))
+        val entries = t(s, dir, "documents")
+          .withColumn("host", host).withColumn("xml", xml)
+          .select(col("doc_id"), col("host"),
+            explode(graft.functions.GraftFunctions.sitemapEntries(col("xml"))).as("e"))
+          .select(col("doc_id"), col("host"),
+            col("e.loc").as("url"), col("e.lastmod").as("lastmod"))
+        val captures = t(s, dir, "documents")
+          .select(concat(lit("m"), pmod(col("doc_id"), lit(5)).cast("string")).as("host"),
+            concat(lit("https://m"), pmod(col("doc_id"), lit(5)).cast("string"),
+              lit(".com/p"), col("doc_id").cast("string")).as("url"),
+            lit("2024-03-01 00:00:00").cast("timestamp").as("cap_ts"))
+        graft.pipeline.CrawlPlanner.modifiedSince(entries, captures)
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_modified"),
+            sum(col("doc_id")).cast("long").as("modified_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 'm' || (doc_id % 5)::VARCHAR AS host, doc_id % 4 AS v FROM documents), " +
+          "m AS (SELECT doc_id, host, " +
+          "CASE v WHEN 0 THEN epoch(TIMESTAMP '2024-06-01 00:00:00') " +
+          "WHEN 1 THEN epoch(TIMESTAMP '2024-01-01 00:00:00') " +
+          "WHEN 2 THEN epoch(TIMESTAMP '2024-03-01 12:00:00') " +
+          "ELSE epoch(TIMESTAMP '2024-03-01 00:00:00') END AS lm_s, " +
+          "epoch(TIMESTAMP '2024-03-01 00:00:00') AS cap_s FROM d) " +
+          "SELECT host, count(*) AS n_modified, " +
+          "CAST(sum(doc_id) AS BIGINT) AS modified_id_sum " +
+          "FROM m WHERE lm_s > cap_s GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -154,12 +154,30 @@ object RobotsTxt {
         inRules = true // an empty Disallow still closes the agent list
         if (v.nonEmpty) rules :+= RobotRule(allow = false, v)
       case ("crawl-delay", v) if agents.nonEmpty =>
-        inRules = true // group-member directive: closes the agent list too
-        if (v.nonEmpty && v.forall(_.isDigit) && v.length <= 9) delays :+= v.toLong
+        // group-member directive: closes the agent list like allow/
+        // disallow (the Protego/Scrapy reading — once the parser KNOWS
+        // the directive, it belongs to the group above it; a parser that
+        // ignores it would instead merge "User-agent: a\nCrawl-delay: 5\n
+        // User-agent: b" into one group, which is the unknown-directive
+        // RFC 9309 reading, deliberately not taken here)
+        inRules = true
+        parseDelay(v).foreach(delays :+= _)
       case _ => // unknown directive (sitemap, …): ignored here
     }
     flush()
     out.result()
+  }
+
+  /** Delay seconds, accepting the fractional form in the wild ("1.5" —
+    * Yandex documents it) by rounding UP: the conservative direction for
+    * a politeness ask. Invalid / negative / oversized values → None.
+    */
+  private def parseDelay(v: String): Option[Long] = {
+    val dot = v.indexOf('.')
+    val (ip, fp) = if (dot >= 0) (v.substring(0, dot), v.substring(dot + 1)) else (v, "")
+    if (ip.isEmpty || ip.length > 9 || !ip.forall(_.isDigit)) None
+    else if (dot >= 0 && (fp.isEmpty || !fp.forall(_.isDigit))) None
+    else Some(ip.toLong + (if (fp.exists(_ != '0')) 1L else 0L))
   }
 
   private def splitKeepEmpty(s: String, sep: Char): Array[String] = {

@@ -32,8 +32,12 @@ object CorpusMixer {
     */
   def rates(docs: DataFrame, stratumCol: String, weights: DataFrame,
       budgetTokens: Long, tokensCol: String): DataFrame = {
+    // a zero-token stratum has nothing to sample — excluded like an
+    // unlisted one (without the filter, div-by-zero NULLs through
+    // least() as keep-EVERYTHING here but drop-everything in epochRates)
     val totals = docs.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("__tok"))
+      .filter(col("__tok") > 0)
     // products ride decimal(38,0): budget×weight and desired×10⁶ exceed
     // Long at ~10¹³ corpus tokens (the quotients always fit — `div`
     // truncates the decimal product exactly, probed in this codebase)
@@ -59,6 +63,7 @@ object CorpusMixer {
       budgetSharePpm: Long, tokensCol: String): DataFrame = {
     val totals = docs.groupBy(col(stratumCol))
       .agg(sum(col(tokensCol)).cast("long").as("__tok"))
+      .filter(col("__tok") > 0) // zero-token stratum: see [[rates]]
     val grand = totals.agg(sum(col("__tok")).cast("long").as("__grand"))
     // decimal(38,0) products for the same reason as [[rates]]: grand×share
     // is ~6×10¹⁹ at a 100 TB corpus — far past Long — while every quotient

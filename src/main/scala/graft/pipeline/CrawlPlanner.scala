@@ -67,7 +67,7 @@ object CrawlPlanner {
   def staleUrls(spark: SparkSession, idxDir: String, policies: DataFrame,
       asOf: String): DataFrame = {
     val caps = CdxIndex.read(spark, idxDir).select(
-      regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1).as("host"),
+      SkewTools.hostOf(col("url")).as("host"),
       col("url"),
       to_timestamp(col("ts"), "yyyyMMddHHmmss").as("cap_ts"))
     staleCaptures(caps, policies, to_timestamp(lit(asOf)))
@@ -95,8 +95,8 @@ object CrawlPlanner {
         explode(GraftFunctions.sitemapEntries(col("sitemap_xml"))).as("e"))
       .select(col("host"), col("robots_txt"), col("e.loc").as("url"),
         lit(false).as("__recrawl"))
-    val (discovered, nRecrawlNoSite) = recrawl match {
-      case None => (sitemapped, 0L)
+    val (discovered, nRecrawlNoSite, recrawlPin) = recrawl match {
+      case None => (sitemapped, 0L, None)
       case Some(r) =>
         // LEFT join: a re-crawl for a host with no sites row this cycle has
         // no current robots to consent against — it is DEFERRED (counted in
@@ -105,11 +105,17 @@ object CrawlPlanner {
           .join(broadcast(sites.select(col("host"), col("robots_txt"))), Seq("host"), "left")
           .persist()
         val noSite = joined.filter(col("robots_txt").isNull).count()
-        val d = sitemapped.unionByName(
+        // a url can be BOTH sitemapped and stale (in the recrawl set) yet
+        // absent from the seen-set (its capture was indexed but never
+        // committed to the extract table): without this anti-join the
+        // sitemap copy survives novelty while the recrawl copy bypasses
+        // it, and the frontier fetches the url twice
+        val sitemappedFresh = sitemapped.join(
+          r.select(col("host"), col("url")), Seq("host", "url"), "left_anti")
+        val d = sitemappedFresh.unionByName(
           joined.filter(col("robots_txt").isNotNull)
             .select(col("host"), col("robots_txt"), col("url"), lit(true).as("__recrawl")))
-        joined.unpersist()
-        (d, noSite)
+        (d, noSite, Some(joined))
     }
 
     // consent: path-part of the url against the host's robots rules.
@@ -123,6 +129,10 @@ object CrawlPlanner {
       .withColumn("__allowed", GraftFunctions.robotsAllowed(col("robots_txt"), col("__path")))
       .persist()
     val nDiscovered = consented.count()
+    // only NOW release the recrawl⋈sites pin — consented is materialized
+    // above, so the recrawl scan never re-runs (unpersisting before this
+    // count would discard the cache exactly one read too early)
+    recrawlPin.foreach(_.unpersist())
     val allowed = consented.filter(col("__allowed"))
       .select(col("host"), col("url"), col("__recrawl"))
     val nAllowed = allowed.count()
@@ -158,6 +168,35 @@ object CrawlPlanner {
       recrawlsNoSite = nRecrawlNoSite))
   }
 
+  /** Sitemap-lastmod freshness — the OTHER re-crawl signal besides age
+    * ([[staleCaptures]]): entries whose declared `lastmod` is STRICTLY
+    * newer than the url's newest capture, i.e. the SITE says the content
+    * changed since we fetched it. Urls never captured are novelty's
+    * business, not freshness (inner join on the capture table keeps this
+    * operator's contract disjoint from [[SeenUrls]]). Both W3C forms
+    * parse (date, datetime with offset); unparseable values are ignored
+    * (`try_to_timestamp` — crawled metadata never crashes the planner).
+    * Feed the result to [[plan]]'s `recrawl` input, exactly like
+    * [[staleUrls]] output.
+    *
+    * @param entries  (host, url, lastmod: string) — sitemap entries
+    * @param captures (host, url, cap_ts: timestamp) — known captures
+    * @return entry rows (all columns preserved) needing a re-fetch
+    */
+  def modifiedSince(entries: DataFrame, captures: DataFrame): DataFrame = {
+    val newest = captures.groupBy(col("host"), col("url"))
+      .agg(max(unix_timestamp(col("cap_ts"))).as("__newest_s"))
+    val lm = coalesce(
+      expr("try_to_timestamp(lastmod, \"yyyy-MM-dd'T'HH:mm:ssXXX\")"),
+      expr("try_to_timestamp(lastmod, 'yyyy-MM-dd')"))
+    entries.filter(col("lastmod").isNotNull)
+      .withColumn("__lm_s", unix_timestamp(lm))
+      .filter(col("__lm_s").isNotNull)
+      .join(newest, Seq("host", "url"))
+      .filter(col("__lm_s") > col("__newest_s"))
+      .drop("__lm_s", "__newest_s")
+  }
+
   /** Politeness TIMING: waves become fetch TIMES using each host's robots
     * `Crawl-delay` (the de-facto extension parsed by
     * [[graft.core.html.RobotsTxt.crawlDelay]]; hosts that declare none
@@ -181,7 +220,11 @@ object CrawlPlanner {
       coalesce(delayUdf(col("robots_txt")), lit(defaultDelaySec))
         .cast("long").as("delay_s"))
     val w = Window.partitionBy(col("host")).orderBy(col("url"))
-    frontier.join(broadcast(delays), Seq("host"))
+    // LEFT join + default: a frontier host with no sites row this cycle
+    // schedules at the default delay instead of silently vanishing (the
+    // deferred-not-dropped discipline plan() follows)
+    frontier.join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_s", coalesce(col("delay_s"), lit(defaultDelaySec)))
       .withColumn("__rn", row_number().over(w))
       .withColumn("wave", expr(s"cast((__rn - 1) div $perWave AS bigint)"))
       .withColumn("fetch_at_s", col("wave") * col("delay_s"))
@@ -209,7 +252,13 @@ object CrawlPlanner {
       .withColumn("quota", (col("tier") * baseQuota).cast("int"))
       .select(col("host"), col("tier"), col("quota"))
     val perHost = Window.partitionBy(col("host")).orderBy(col("url"))
-    frontier.join(broadcast(tiered), Seq("host"))
+    // LEFT join + bottom tier: a host with no rank row (new host, not yet
+    // in the link graph) gets the MINIMUM budget instead of being dropped
+    // from the schedule — the same silent-loss class plan() counts as
+    // recrawlsNoSite
+    frontier.join(broadcast(tiered), Seq("host"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit(1)))
+      .withColumn("quota", coalesce(col("quota"), lit(baseQuota)))
       .withColumn("__rn", row_number().over(perHost))
       .withColumn("wave", expr("cast((__rn - 1) div quota AS bigint)"))
       .drop("__rn")

@@ -582,13 +582,17 @@ object CuratedPipeline {
     val gatedTemplated =
       if (!templateStrip) gatedBase
       else {
-        val withHost = gatedBase.withColumn("__host",
-          regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1))
+        // pin the gated frame first: the strip consumes it four ways
+        // (exploded paras, two distinct-count aggs, the join-back left
+        // side) and without the pin each pass re-runs the extract scan +
+        // gates (the cp() convention curateIncrement already follows)
+        val base = gatedBase.localCheckpoint(true)
+        val withHost = base.withColumn("__host", SkewTools.hostOf(col("url")))
         val stripped = TemplateStrip
           .strip(withHost, "__host", "id", "extracted_text")
           .select(col("id"), col("clean_text"),
             col("n_removed").as("template_removed"))
-        gatedBase.join(stripped, Seq("id"))
+        base.join(stripped, Seq("id"))
           .withColumn("extracted_text", col("clean_text"))
           .drop("clean_text")
           // a page that was ALL template is boilerplate, not content

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
 
 /** Inverted-index retrieval over the corpus — the lexical complement of
   * the embedding ANN path (q34/q35/q48): build term postings once, then
@@ -42,6 +43,101 @@ object InvertedIndex {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  // ---- committed index: LSM generations, manifest-gated reads -------------
+  //
+  // The postings table persisted the way this engine persists every other
+  // index (CdxIndex generations, CuratedPipeline band index): each `build`/
+  // `append` writes a NEW sorted-by-term parquet generation under
+  // `idxDir/g<N>/` and then appends one manifest line — the commit point —
+  // so readers never see a torn write, an `append` after new docs is
+  // O(new data) with nothing rewritten, and `compactGenerations` folds the
+  // LSM back to one generation with an atomic manifest REWRITE (tmp+move).
+  // Contract (the curateIncrement identity discipline): appended docs are
+  // disjoint from everything already indexed — (term, doc) stays unique
+  // across generations, which is what lets `read` be a plain union.
+
+  private def manifest(idxDir: String) = Paths.get(idxDir, "index_manifest.jsonl")
+
+  /** Committed generation numbers, in commit order. */
+  def committedGens(idxDir: String): Seq[Long] = {
+    val mf = manifest(idxDir)
+    if (!Files.exists(mf)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val p = java.util.regex.Pattern.compile("\"gen\":(\\d+)")
+      Files.readAllLines(mf).asScala.toSeq.flatMap { line =>
+        val m = p.matcher(line); if (m.find()) Some(m.group(1).toLong) else None
+      }.distinct
+    }
+  }
+
+  /** Index `docs` into a new generation and commit it. First call creates
+    * the index; later calls are the O(new-data) incremental append.
+    */
+  def append(spark: SparkSession, docs: DataFrame, idxDir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val gens = committedGens(idxDir)
+    val g = if (gens.isEmpty) 0L else gens.max + 1
+    val p = postings(docs, idCol, textCol)
+    // sorted by term within files: postings for one term cluster together,
+    // so a term-keyed read touches few row groups (min/max pruning)
+    p.sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$idxDir/g$g")
+    val nDocs = p.select(col("doc_id")).distinct().count()
+    Files.createDirectories(Paths.get(idxDir))
+    Files.write(manifest(idxDir),
+      (s"""{"gen":$g,"n_docs":$nDocs}""" + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    g
+  }
+
+  /** Postings across every COMMITTED generation (a torn append's orphan
+    * directory is invisible until its manifest line lands).
+    */
+  def read(spark: SparkSession, idxDir: String): DataFrame = {
+    val gens = committedGens(idxDir)
+    require(gens.nonEmpty, s"no committed index at $idxDir")
+    gens.map(g => spark.read.parquet(s"$idxDir/g$g")).reduce(_.unionByName(_))
+  }
+
+  /** Fold all committed generations into one. The fold is written as a new
+    * generation first; the manifest REWRITE (tmp + atomic move) is the
+    * commit point, and a reader holds either the old generation list or
+    * the folded one — never a mix. Superseded directories are removed
+    * AFTER the commit (crash between commit and cleanup leaks orphan dirs,
+    * never wrong reads; [[vacuum]] finishes the job on replay).
+    */
+  def compactGenerations(spark: SparkSession, idxDir: String): Unit = {
+    val gens = committedGens(idxDir)
+    if (gens.length <= 1) return
+    val g = gens.max + 1
+    val all = read(spark, idxDir)
+    all.sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$idxDir/g$g")
+    val nDocs = all.select(col("doc_id")).distinct().count()
+    val tmp = Paths.get(idxDir, s".index_manifest.tmp$g")
+    Files.write(tmp, (s"""{"gen":$g,"n_docs":$nDocs}""" + "\n").getBytes("UTF-8"))
+    Files.move(tmp, manifest(idxDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    vacuum(spark, idxDir)
+  }
+
+  /** Remove generation directories the manifest no longer references
+    * (superseded by compaction, or orphaned by a torn append).
+    */
+  def vacuum(spark: SparkSession, idxDir: String): Unit = {
+    val live = committedGens(idxDir).map(g => s"g$g").toSet
+    val dir = Paths.get(idxDir)
+    if (!Files.exists(dir)) return
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("g\\d+") &&
+        !live.contains(p.getFileName.toString))
+      .foreach { p =>
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+  }
+
   /** Top-k docs per query. `queries` carries (`qid`, `term`) rows — a
     * query is its term set, weights uniform. Returns (`qid`, `doc_id`,
     * `score`, `rank`) with `rank` 1-based, ties broken by `doc_id` so the
@@ -52,7 +148,11 @@ object InvertedIndex {
       .agg(sum(col("tf")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_dl"))
-    val qTerms = queries.select(col("qid"), col("term"))
+    // distinct: a query built by tokenizing user text can repeat a term,
+    // and a duplicate (qid, term) row would double that term's BM25
+    // contribution (tf already carries within-doc frequency; the query
+    // side is a term SET)
+    val qTerms = queries.select(col("qid"), col("term")).distinct()
     val dfQ = posts
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))

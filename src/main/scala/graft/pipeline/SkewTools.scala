@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object SkewTools {
 
-  def hostOf(url: Column): Column = regexp_extract(url, "https?://([^/]+)", 1)
+  /** Authority part of a url, any scheme (the ONE host definition shared
+    * by skew profiling, crawl planning, and template stripping — three
+    * sites diverging on port/userinfo handling would silently disagree).
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1)
 
   /** Hot keys = keys holding more than `threshold` of the sampled rows.
     * Sampling is deterministic (seeded) — resume-safe.

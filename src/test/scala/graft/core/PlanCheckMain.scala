@@ -96,7 +96,20 @@ object PlanCheckMain {
       "q101_crawl_delay" -> ("delays broadcast, per-host windows only",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") &&
-            !f.contains("Exchange SinglePartition\n   +- Window") }))
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5b: the committed-index search has the same shape contract
+      // as q99 — it reads the persisted postings instead of building them,
+      // but query terms/df still broadcast and no window is partition-less
+      "q102_bm25_indexed" -> ("query joins broadcast, windows partitioned",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5b: lastmod freshness is one newest-capture agg + one keyed
+      // join — never a cartesian, never a global window
+      "q103_sitemap_modified" -> ("keyed join only, no cartesian/window",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") &&
+            !f.contains("BroadcastNestedLoopJoin") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

@@ -115,6 +115,13 @@ class RobotsSpec extends AnyFunSuite {
     assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: abc\nCrawl-delay: 5") == Some(5L))
     assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: -1") == None)
     assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 9999999999999") == None)
+    // fractional form (Yandex documents it) rounds UP — the conservative
+    // direction for a politeness ask; a zero fraction is exact
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 1.5") == Some(2L))
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 2.0") == Some(2L))
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 0.2") == Some(1L))
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: 1.") == None)
+    assert(RobotsTxt.crawlDelay("User-agent: *\nCrawl-delay: .5") == None)
     // no delay, or delay outside any group → None
     assert(RobotsTxt.crawlDelay("User-agent: *\nDisallow:") == None)
     assert(RobotsTxt.crawlDelay("Crawl-delay: 8") == None)

@@ -97,20 +97,27 @@ class CrawlPlannerSpec extends AnyFunSuite {
       s"<urlset><url><loc>https://$host/new/x1</loc></url></urlset>",
       "User-agent: *\nDisallow: /private/")).toDF("host", "sitemap_xml", "robots_txt")
     // one re-crawl row for a host with NO sites row this cycle: it must be
-    // counted as deferred (recrawlsNoSite), never silently dropped
+    // counted as deferred (recrawlsNoSite), never silently dropped — and
+    // new/x1 is ALSO in the recrawl set while absent from the corpus (an
+    // indexed-but-never-committed capture): without the sitemap∩recrawl
+    // anti-join it would be fetched twice (sitemap copy survives novelty,
+    // recrawl copy bypasses it)
     val staleWithOrphan = stale.unionByName(
-      Seq(("nosite.example", "https://nosite.example/a")).toDF("host", "url"))
+      Seq(("nosite.example", "https://nosite.example/a"),
+        (host, s"https://$host/new/x1")).toDF("host", "url"))
     val (plan, stats) = CrawlPlanner.plan(spark, sites, out, perWave = 2,
       recrawl = Some(staleWithOrphan))
-    assert(stats.discovered == 9) // 1 sitemap + 8 stale (orphan deferred)
+    assert(stats.discovered == 9) // x1 counted ONCE (recrawl identity wins)
     assert(stats.blocked == 3, "withdrawn consent must block stale re-crawls too")
     assert(stats.alreadySeen == 0)
-    assert(stats.recrawls == 5)
+    assert(stats.recrawls == 6) // 5 stale + x1
     assert(stats.recrawlsNoSite == 1)
     assert(stats.scheduled == 6)
     assert(stats.maxWaves == 3) // 6 urls, one host, 2 per wave
     val urls = plan.select($"url").as[String].collect().toSet
     assert(urls == oldPages.drop(1).map(_.url).toSet + s"https://$host/new/x1")
+    assert(plan.filter($"url" === s"https://$host/new/x1").count() == 1,
+      "a url in both the sitemap and the recrawl set must be scheduled exactly once")
   }
 
   test("rank-weighted waves: tier monotone in rank, per-wave capacity never exceeded") {
@@ -139,5 +146,68 @@ class CrawlPlannerSpec extends AnyFunSuite {
     // determinism within a host: waves fill in url order
     val aWaves = waved.filter(_._1 == "a.com").sortBy(_._2).map(_._5).toSeq
     assert(aWaves == Seq(0L, 0L, 0L, 1L, 1L, 1L, 2L, 2L, 2L, 3L))
+
+    // a frontier host with NO rank row (new host, not yet in the link
+    // graph) schedules at the BOTTOM tier instead of vanishing
+    val withNewHost = frontier.unionByName(
+      Seq(("e.com", "https://e.com/p0"), ("e.com", "https://e.com/p1"))
+        .toDF("host", "url"))
+    val e = CrawlPlanner.rankedWaves(withNewHost, ranks, baseQuota = 3, tiers = 4)
+      .filter($"host" === "e.com")
+      .select($"tier", $"quota", $"wave").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(e.length == 2, "unranked host must not be dropped from the schedule")
+    assert(e.forall { case (t, q, _) => t == 1 && q == 3 })
+  }
+
+  test("sitemap-lastmod freshness: strict compare, invalid/absent lastmods ignored, uncaptured urls excluded") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val entries = Seq(
+      ("h.example", "https://h.example/changed", "2024-06-01"),
+      ("h.example", "https://h.example/unchanged", "2024-01-01"),
+      ("h.example", "https://h.example/equal", "2024-03-01"),
+      ("h.example", "https://h.example/garbage", "not-a-date"),
+      ("h.example", "https://h.example/nolastmod", null.asInstanceOf[String]),
+      ("h.example", "https://h.example/nevercaptured", "2024-06-01"))
+      .toDF("host", "url", "lastmod")
+    val captures = Seq(
+      ("h.example", "https://h.example/changed", ts("2024-03-01 00:00:00")),
+      // an OLDER duplicate capture: the newest one must decide
+      ("h.example", "https://h.example/changed", ts("2023-01-01 00:00:00")),
+      ("h.example", "https://h.example/unchanged", ts("2024-03-01 00:00:00")),
+      ("h.example", "https://h.example/equal", ts("2024-03-01 00:00:00")),
+      ("h.example", "https://h.example/garbage", ts("2024-03-01 00:00:00")),
+      ("h.example", "https://h.example/nolastmod", ts("2024-03-01 00:00:00")))
+      .toDF("host", "url", "cap_ts")
+    val out = CrawlPlanner.modifiedSince(entries, captures)
+      .select($"url").as[String].collect().toSet
+    assert(out == Set("https://h.example/changed"))
+  }
+
+  test("crawl-delay timing: per-host delays parsed from robots, defaults for absent hosts") {
+    import spark.implicits._
+    val sites = Seq(
+      ("slow.example", "User-agent: *\nCrawl-delay: 10\nDisallow:"),
+      ("frac.example", "User-agent: *\nCrawl-delay: 1.5"),
+      ("plain.example", "User-agent: *\nDisallow:")).toDF("host", "robots_txt")
+    val frontier = (for (h <- Seq("slow", "frac", "plain", "nosite"); i <- 0 until 5)
+      yield (s"$h.example", f"https://$h.example/p$i")).toDF("host", "url")
+    val sched = CrawlPlanner.delayedSchedule(frontier, sites, perWave = 2,
+        defaultDelaySec = 3L)
+      .select($"host", $"delay_s", $"wave", $"fetch_at_s").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byHost = sched.groupBy(_._1)
+    // parsed delays: plain 10s, fractional rounds UP, no directive → default
+    assert(byHost("slow.example").forall(_._2 == 10L))
+    assert(byHost("frac.example").forall(_._2 == 2L))
+    assert(byHost("plain.example").forall(_._2 == 3L))
+    // a frontier host with no sites row schedules at the default delay
+    // instead of silently vanishing
+    assert(byHost.contains("nosite.example"))
+    assert(byHost("nosite.example").forall(_._2 == 3L))
+    // fetch time = wave × delay, per host independently
+    assert(sched.forall { case (_, d, w, t) => t == w * d })
+    assert(byHost("slow.example").map(_._3).max == 2L) // 5 urls, 2 per wave
   }
 }

@@ -78,6 +78,71 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(twoPhase.length == 20) // 2 qids × k
   }
 
+  test("duplicate (qid, term) rows do not double a term's contribution") {
+    val docs = df((0L until 50L).map(i =>
+      Row(i, if (i % 2 == 0) "x y x" else "y z")), ("doc_id", LongType), ("text", StringType))
+    val posts = InvertedIndex.postings(docs)
+    val once = df(Seq(Row(1L, "x"), Row(1L, "z")), ("qid", LongType), ("term", StringType))
+    val dup = df(Seq(Row(1L, "x"), Row(1L, "x"), Row(1L, "z")),
+      ("qid", LongType), ("term", StringType))
+    val a = InvertedIndex.searchTopK(posts, once, k = 5)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val b = InvertedIndex.searchTopK(posts, dup, k = 5)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("committed index: append ≡ full rebuild, torn writes invisible, compaction value-exact") {
+    val docs = df((0L until 200L).map(i =>
+      Row(i, s"w${i % 7} w${i % 11} w${i % 7} w${i % 5}")),
+      ("doc_id", LongType), ("text", StringType))
+    def pset(p: org.apache.spark.sql.DataFrame) = p.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"), r.getAs[Long]("tf"))).toSet
+
+    // incremental: gen 0 = evens, gen 1 = appended odds
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    InvertedIndex.append(spark, docs.filter(pmod(col("doc_id"), lit(2)) === 0), idx)
+    InvertedIndex.append(spark, docs.filter(pmod(col("doc_id"), lit(2)) === 1), idx)
+    assert(InvertedIndex.committedGens(idx) == Seq(0L, 1L))
+
+    // one-shot reference index over the full corpus
+    val full = java.nio.file.Files.createTempDirectory("graft-idx-full").toString
+    InvertedIndex.append(spark, docs, full)
+    assert(pset(InvertedIndex.read(spark, idx)) == pset(InvertedIndex.read(spark, full)))
+
+    // a TORN append (generation dir written, manifest line never landed)
+    // is invisible to readers
+    InvertedIndex.postings(docs.limit(5)).write.parquet(s"$idx/g99")
+    assert(pset(InvertedIndex.read(spark, idx)) == pset(InvertedIndex.read(spark, full)))
+
+    // search over the committed index == search over inline postings
+    val qs = df(Seq(Row(1L, "w3"), Row(1L, "w10"), Row(2L, "w1")),
+      ("qid", LongType), ("term", StringType))
+    def topk(p: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.searchTopK(p, qs, k = 7)
+        .select("qid", "rank", "doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val expected = topk(InvertedIndex.postings(docs))
+    assert(topk(InvertedIndex.read(spark, idx)).sameElements(expected))
+
+    // compaction folds to ONE generation, drops the orphan, stays exact
+    InvertedIndex.compactGenerations(spark, idx)
+    assert(InvertedIndex.committedGens(idx).length == 1)
+    assert(pset(InvertedIndex.read(spark, idx)) == pset(InvertedIndex.read(spark, full)))
+    assert(topk(InvertedIndex.read(spark, idx)).sameElements(expected))
+    val leftover = new java.io.File(idx).listFiles()
+      .map(_.getName).filter(_.matches("g\\d+")).toSet
+    assert(leftover == Set(s"g${InvertedIndex.committedGens(idx).head}"),
+      s"superseded/orphan generation dirs must be vacuumed, found $leftover")
+
+    // appends keep working after a fold
+    InvertedIndex.append(spark,
+      df(Seq(Row(1000L, "w3 w3 zz")), ("doc_id", LongType), ("text", StringType)), idx)
+    assert(pset(InvertedIndex.read(spark, idx)).contains(("zz", 1000L, 1L)))
+  }
+
   test("a query term absent from the corpus contributes nothing; unmatched query returns no rows") {
     val docs = df(Seq(Row(1L, "x y"), Row(2L, "y z")),
       ("doc_id", LongType), ("text", StringType))

@@ -72,6 +72,20 @@ class MixerSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("a zero-token stratum samples to zero in BOTH paths (no div-by-zero NULL leak)") {
+    val z = docs.unionByName(df(
+      Seq(Row(100L, "empty", 0L), Row(101L, "empty", 0L)),
+      ("doc_id", LongType), ("stratum", StringType), ("n_tokens", LongType)))
+    val w = df(Seq(Row("small", 500000L), Row("big", 400000L), Row("empty", 100000L)),
+      ("stratum", StringType), ("weight_ppm", LongType))
+    val capped = CorpusMixer.sample(z, "stratum", w, budgetTokens = 500L)
+    assert(capped.filter(col("stratum") === "empty").count() == 0L)
+    assert(capped.filter(col("kept")).count() > 0L)
+    val up = CorpusMixer.upsample(z, "stratum", w, budgetSharePpm = 2000000L)
+    assert(up.filter(col("stratum") === "empty").count() == 0L)
+    assert(up.count() > 0L)
+  }
+
   test("unlisted strata are excluded (inner-join semantics)") {
     val w = df(Seq(Row("small", 1000000L)), ("stratum", StringType), ("weight_ppm", LongType))
     val up = CorpusMixer.upsample(docs, "stratum", w, 1000000L)
