@@ -65,7 +65,15 @@ object PlanDumpMain {
       "q98_epoch_mix" -> ("Epoch up-sampling: broadcast rates, explode multiplies rows not partitions",
         "Stratum totals and the grand total are policy-sized aggregates; rates and weights broadcast (PlanCheckMain asserts no SortMergeJoin reaches the corpus). The multi-epoch explode generates copies inside the scan partitions — row multiplication without a single extra exchange, which is what makes a 3-epoch source no more than 3× one scan at any corpus size."),
       "q99_bm25_topk" -> ("Inverted-index search: broadcast query terms, two-phase top-k",
-        "Query terms and their df table broadcast into the postings scan, so only matching postings leave it; per-(query, doc) scores partial-aggregate before one shuffle. Top-k is two-phase — row_number inside 64 hash shards of each query's candidates, then a global rank over the ≤64k survivors — provably equal to the single-phase window while no task ever sorts a popular term's full candidate list."))
+        "Query terms and their df table broadcast into the postings scan, so only matching postings leave it; per-(query, doc) scores partial-aggregate before one shuffle. Top-k is two-phase — row_number inside 64 hash shards of each query's candidates, then a global rank over the ≤64k survivors — provably equal to the single-phase window while no task ever sorts a popular term's full candidate list."),
+      "q100_unicode_nfc" -> ("NFC normalization: one codegen'd projection, no join",
+        "The native NfcNormalize expression runs inside the scan's projection (WholeStageCodegen span), so normalize→hash→compare chains never leave generated code — the required pre-hash canonicalization costs zero extra passes at any corpus size."),
+      "q101_crawl_delay" -> ("Crawl-delay timing: per-host broadcast + per-host windows",
+        "Parsed delays live on the host table and broadcast into the frontier; wave assignment is a window PARTITIONED BY host — per-host timelines are independent by construction, so the schedule never sorts the global frontier."),
+      "q102_bm25_indexed" -> ("Committed-index search: reads the persisted postings, not the corpus",
+        "Identical search shape to q99, but the scan side is the term-sorted parquet index (generations unioned behind the manifest) — the corpus is never touched at query time, and within each generation postings for one term cluster into few row groups (min/max pruning on the sort key)."),
+      "q103_sitemap_modified" -> ("Lastmod freshness: index-sized max + one keyed join",
+        "Newest-capture-per-url is a map-side-combined max over the capture table; the lastmod parse is a projection over sitemap entries, and the strict comparison happens in one (host,url) hash join — freshness costs O(index + sitemap), page bodies never read."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
