@@ -2656,7 +2656,147 @@ object Queries {
           "epoch(TIMESTAMP '2024-03-01 00:00:00') AS cap_s FROM d) " +
           "SELECT host, count(*) AS n_modified, " +
           "CAST(sum(doc_id) AS BIGINT) AS modified_id_sum " +
-          "FROM m WHERE lm_s > cap_s GROUP BY host ORDER BY host")))
+          "FROM m WHERE lm_s > cap_s GROUP BY host ORDER BY host")),
+
+    // Cluster-representative selection by QUALITY: q46 keeps min-doc_id
+    // per dup cluster (the label); real curation keeps the BEST member —
+    // here the longest (the CCNet/FineWeb near-dup policy: among near-
+    // identical copies, the longest is usually the un-truncated one),
+    // ties broken by min doc_id so the original beats its planted +1e6
+    // copy. Pure relational argmax (per-comp max + equality join back) so
+    // both engines agree without any max_by tie-semantics dependence.
+    // Scale shape: labels ⋈ wordcount, two comp-keyed hash aggs — the
+    // same content-keyed shuffles q46 already pays, no window.
+    Q("q104_cluster_canonical",
+      (s, dir) => {
+        val labels = dupClusterLabels(s, dir)
+        val wc = dupCorpus(s, dir).select(col("doc_id").as("id"),
+          size(split(col("text"), " ")).cast("long").as("wc"))
+        val m = labels.join(wc, Seq("id"))
+        val best = m.groupBy(col("comp")).agg(max(col("wc")).as("best_wc"))
+        val keep = m.join(best, Seq("comp"))
+          .filter(col("wc") === col("best_wc"))
+          .groupBy(col("comp")).agg(min(col("id")).as("keep_id"),
+            max(col("best_wc")).as("best_wc"))
+        keep.agg(count(lit(1)).as("n_clusters"),
+          sum(col("keep_id")).cast("long").as("keep_id_sum"),
+          sum(col("best_wc")).cast("long").as("kept_wc_sum"),
+          sum(when(col("keep_id") < 1000000L, 1L).otherwise(0L))
+            .cast("long").as("n_original_kept"))
+      },
+      Some(s"$dupClusterCte, " +
+        s"wc AS (SELECT doc_id AS id, len(string_split(text,' '))::BIGINT AS wc FROM $dupCorpusSql), " +
+        "m AS (SELECT l.id, l.comp, w.wc FROM labels l JOIN wc w USING (id)), " +
+        "best AS (SELECT comp, max(wc) AS best_wc FROM m GROUP BY comp), " +
+        "keep AS (SELECT m.comp, min(m.id) AS keep_id, max(b.best_wc) AS best_wc " +
+        "FROM m JOIN best b ON m.comp = b.comp AND m.wc = b.best_wc GROUP BY m.comp) " +
+        "SELECT count(*) AS n_clusters, CAST(sum(keep_id) AS BIGINT) AS keep_id_sum, " +
+        "CAST(sum(best_wc) AS BIGINT) AS kept_wc_sum, " +
+        "CAST(sum(CASE WHEN keep_id < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_original_kept " +
+        "FROM keep")),
+
+    // Robots-declared sitemap DISCOVERY (where plan()'s sitemap urls come
+    // from): five planted robots variants — plain declaration, TWO lines
+    // incl. an UPPERCASE key (the directive key is case-insensitive),
+    // a trailing #comment (stripped before the value is read), a relative
+    // value (dropped — no fetchable meaning), and no declaration at all —
+    // parsed by the REAL RobotsTxt engine; DuckDB re-derives the per-host
+    // counts from the planted truth. Scale shape: one projection+explode
+    // over the host table.
+    Q("q105_robots_sitemaps",
+      (s, dir) => {
+        val v = pmod(col("doc_id"), lit(5))
+        val host = concat(lit("r"), pmod(col("doc_id"), lit(7)).cast("string"))
+        val robots = when(v === 0, concat(lit("User-agent: *\nDisallow: /x\nSitemap: https://s.example/m"), col("doc_id").cast("string"), lit(".xml")))
+          .when(v === 1, lit("SITEMAP: https://s.example/a.xml\nsitemap: https://s.example/b.xml"))
+          .when(v === 2, lit("User-agent: *\nSitemap: https://s.example/c.xml # index"))
+          .when(v === 3, lit("Sitemap: /relative.xml"))
+          .otherwise(lit("User-agent: *\nDisallow:"))
+        val sites = t(s, dir, "documents")
+          .select(col("doc_id"), host.as("host"), robots.as("robots_txt"))
+        graft.pipeline.CrawlPlanner.discoverSitemaps(
+            sites.select(col("host"), col("robots_txt")))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(col("pos")).cast("long").as("pos_sum"),
+            sum(length(col("sitemap_url"))).cast("long").as("url_chars"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 'r' || (doc_id % 7)::VARCHAR AS host, doc_id % 5 AS v FROM documents), " +
+          "e AS (" +
+          "SELECT doc_id, host, 1 AS n, 0 AS pos, len('https://s.example/m' || doc_id::VARCHAR || '.xml') AS chars FROM d WHERE v = 0 " +
+          "UNION ALL SELECT doc_id, host, 2, 1, 2 * len('https://s.example/a.xml') FROM d WHERE v = 1 " +
+          "UNION ALL SELECT doc_id, host, 1, 0, len('https://s.example/c.xml') FROM d WHERE v = 2) " +
+          "SELECT host, CAST(sum(n) AS BIGINT) AS n_urls, CAST(sum(pos) AS BIGINT) AS pos_sum, " +
+          "CAST(sum(chars) AS BIGINT) AS url_chars FROM e GROUP BY host ORDER BY host")),
+
+    // Change-rate re-crawl priority (Cho & Garcia-Molina frequency
+    // estimation): per-url capture histories planted with three captures
+    // 31+29 days apart and a digest pattern doc_id%3 ∈ {never changed,
+    // changed once, changed twice}, plus a SINGLE-capture url per doc
+    // that must be excluded (no estimable rate — the age policy's
+    // business). span = 60 days, age = 45 days at the asOf instant, so
+    // priority_ppm = changes × 750000 exactly; DuckDB re-derives the
+    // arithmetic from the planted truth while the Spark side runs the real
+    // per-url window + aggregation over the capture table.
+    Q("q106_change_priority",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"))
+        val host = concat(lit("c"), pmod(col("doc_id"), lit(4)).cast("string"))
+        val url = concat(lit("https://c.example/p"), col("doc_id").cast("string"))
+        def cap(ts: String, dig: org.apache.spark.sql.Column) = d.select(host.as("host"), url.as("url"),
+          lit(ts).cast("timestamp").as("cap_ts"), dig.as("digest"))
+        val m3 = pmod(col("doc_id"), lit(3))
+        val caps = cap("2024-01-01 00:00:00", lit("A"))
+          .unionByName(cap("2024-02-01 00:00:00",
+            when(m3 === 2, lit("B")).otherwise(lit("A"))))
+          .unionByName(cap("2024-03-01 00:00:00",
+            when(m3 === 0, lit("A")).when(m3 === 1, lit("B")).otherwise(lit("C"))))
+          // the single-capture url: no rate estimate, must not appear
+          .unionByName(d.select(host.as("host"),
+            concat(lit("https://c.example/once"), col("doc_id").cast("string")).as("url"),
+            lit("2024-02-15 00:00:00").cast("timestamp").as("cap_ts"),
+            lit("Z").as("digest")))
+        graft.pipeline.CrawlPlanner.changePriorities(caps,
+            lit("2024-04-15 00:00:00").cast("timestamp"))
+          .groupBy(col("host"))
+          .agg(count(lit(1)).as("n_urls"),
+            sum(col("n_changes")).cast("long").as("changes_sum"),
+            sum(col("priority_ppm")).cast("long").as("priority_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 'c' || (doc_id % 4)::VARCHAR AS host, doc_id % 3 AS m FROM documents), " +
+          "p AS (SELECT host, CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS ch FROM d) " +
+          "SELECT host, count(*) AS n_urls, CAST(sum(ch) AS BIGINT) AS changes_sum, " +
+          "CAST(sum(ch * 750000) AS BIGINT) AS priority_sum FROM p GROUP BY host ORDER BY host")),
+
+    // Domain balancing (the RefinedWeb/FineWeb per-host cap): at most 5
+    // docs per host survive, in deterministic md5-of-id order (an
+    // unbiased per-host sample; doc_id breaks the theoretical md5 tie).
+    // The rank filter is a constant, so Spark plans WindowGroupLimit —
+    // each task pre-prunes to its local top-5 per host BEFORE the
+    // shuffle (PlanCheckMain asserts it): a 10⁹-page boilerplate farm
+    // moves O(tasks × 5) rows, never its full page set. DuckDB re-derives
+    // the same row_number over the same md5 order.
+    Q("q107_host_cap",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("host", concat(lit("d"), pmod(col("doc_id"), lit(20)).cast("string")))
+        val kept = graft.pipeline.CorpusMixer.capPerKey(docs, "host", 5,
+          Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+        kept.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).cast("long").as("kept_id_sum"))
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, 'd' || (doc_id % 20)::VARCHAR AS host FROM documents), " +
+          "r AS (SELECT host, doc_id, row_number() OVER (PARTITION BY host " +
+          "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM d) " +
+          "SELECT host, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
+          "FROM r WHERE rn <= 5 GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

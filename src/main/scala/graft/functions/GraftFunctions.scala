@@ -49,6 +49,14 @@ object GraftFunctions {
       if (robotsTxt == null) "" else robotsTxt,
       if (path == null) "/" else path))
 
+  /** `Sitemap:` urls declared in a robots.txt body, file order — the
+    * group-independent record ([[graft.core.html.RobotsTxt.sitemaps]])
+    * that bootstraps sitemap discovery for a host.
+    */
+  val robotsSitemaps = udf((robotsTxt: String) =>
+    if (robotsTxt == null) Seq.empty[String]
+    else graft.core.html.RobotsTxt.sitemaps(robotsTxt))
+
   /** Sitemap entries as rows — [[graft.core.html.SitemapXml]]'s tolerant
     * scanner in column shape (absent lastmod → "", absent priority → -1,
     * keeping the struct null-free for the relational consumers).

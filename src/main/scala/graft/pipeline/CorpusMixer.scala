@@ -126,4 +126,25 @@ object CorpusMixer {
       .withColumn("kept", col("__sel") < col("rate_ppm"))
       .drop("__sel")
   }
+
+  /** Domain balancing (the RefinedWeb/FineWeb per-host cap): at most
+    * `cap` rows per key survive, chosen in `order` — callers pass a
+    * deterministic total order (e.g. md5-of-id for an unbiased sample,
+    * quality-desc for best-first; ALWAYS end with a unique tiebreaker, or
+    * ties make the kept set partition-order-dependent). A boilerplate
+    * farm with 10⁹ pages contributes `cap` docs, same as a blog.
+    *
+    * Scale shape: one window PARTITIONED BY key — and because the rank
+    * filter is a constant, Spark plans it as WindowGroupLimit: each task
+    * pre-prunes to its local top-`cap` per key BEFORE the shuffle, so a
+    * mega-host moves O(tasks × cap) rows, never its full page set.
+    */
+  def capPerKey(docs: DataFrame, keyCol: String, cap: Int,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(order: _*)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

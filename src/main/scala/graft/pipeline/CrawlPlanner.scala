@@ -197,6 +197,69 @@ object CrawlPlanner {
       .drop("__lm_s", "__newest_s")
   }
 
+  /** Sitemap DISCOVERY from robots.txt — where the sitemap urls in
+    * [[plan]]'s `sites` input come from in a real crawl: `Sitemap:` lines
+    * are group-independent (sitemaps.org protocol; RFC 9309 lists them as
+    * an "other record" passed through verbatim), so every line in the
+    * file counts, comment-stripped, in file order. Only absolute http(s)
+    * targets survive — a relative value has no fetchable meaning and is
+    * dropped rather than guessed at. Scale shape: one projection + explode
+    * over the per-host robots table (host-cardinality, never the corpus).
+    *
+    * @param sites (host, robots_txt) rows
+    * @return (host, sitemap_url, pos) — pos is the 0-based file order
+    */
+  def discoverSitemaps(sites: DataFrame): DataFrame =
+    sites.select(col("host"),
+        posexplode(graft.functions.GraftFunctions.robotsSitemaps(col("robots_txt")))
+          .as(Seq("pos", "sitemap_url")))
+      .filter(col("sitemap_url").startsWith("http://") ||
+        col("sitemap_url").startsWith("https://"))
+      .select(col("host"), col("sitemap_url"), col("pos").cast("long").as("pos"))
+
+  /** Change-rate re-crawl PRIORITY — the third freshness signal, after
+    * age ([[staleCaptures]]) and declared lastmod ([[modifiedSince]]):
+    * estimate each url's change rate from its own capture HISTORY (Cho &
+    * Garcia-Molina's frequency estimation, the integer-exact flavor) and
+    * rank by expected missed changes. Per url:
+    *
+    *   changes  = number of digest transitions between consecutive captures
+    *   span_s   = newest capture − oldest capture (the observation window)
+    *   age_s    = asOf − newest capture
+    *   priority_ppm = 10⁶ × changes × age_s / span_s
+    *
+    * i.e. (changes/span = rate) × age = E[changes missed since last
+    * fetch], scaled to ppm so engines agree bit-for-bit. Urls with fewer
+    * than 2 captures (or zero span) carry no estimate and are EXCLUDED —
+    * single-capture freshness is the age policy's business, never-captured
+    * urls are novelty's (the disjoint-contract discipline of
+    * [[modifiedSince]]). Scale shape: one per-url sort-free aggregation
+    * pass over the capture INDEX (digest transitions via a per-url
+    * window, partitioned — never global), corpus bodies never read.
+    * Products ride decimal(38,0): changes × age_s × 10⁶ exceeds Long for
+    * decade-old captures at ppm scale.
+    *
+    * @param captures (host, url, cap_ts: timestamp, digest) capture history
+    * @param asOf     the evaluation instant
+    * @return (host, url, n_captures, n_changes, span_s, age_s, priority_ppm)
+    */
+  def changePriorities(captures: DataFrame, asOf: Column): DataFrame = {
+    val w = Window.partitionBy(col("host"), col("url")).orderBy(col("cap_ts"))
+    captures
+      .withColumn("__prev", lag(col("digest"), 1).over(w))
+      .groupBy(col("host"), col("url"))
+      .agg(
+        count(lit(1)).as("n_captures"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("digest"), 1L)
+          .otherwise(0L)).as("n_changes"),
+        (max(unix_timestamp(col("cap_ts"))) - min(unix_timestamp(col("cap_ts"))))
+          .as("span_s"),
+        (unix_timestamp(asOf) - max(unix_timestamp(col("cap_ts")))).as("age_s"))
+      .filter(col("n_captures") >= 2 && col("span_s") > 0)
+      .withColumn("priority_ppm", expr(
+        "cast((cast(n_changes AS decimal(38,0)) * 1000000 * age_s) div span_s AS bigint)"))
+  }
+
   /** Politeness TIMING: waves become fetch TIMES using each host's robots
     * `Crawl-delay` (the de-facto extension parsed by
     * [[graft.core.html.RobotsTxt.crawlDelay]]; hosts that declare none

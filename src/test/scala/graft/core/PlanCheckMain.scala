@@ -109,7 +109,32 @@ object PlanCheckMain {
       "q103_sitemap_modified" -> ("keyed join only, no cartesian/window",
         p => { val f = p.split("== Initial Plan ==").head
           !f.contains("CartesianProduct") && !f.contains("Window") &&
-            !f.contains("BroadcastNestedLoopJoin") }))
+            !f.contains("BroadcastNestedLoopJoin") }),
+      // round 5c: best-member selection is two comp-keyed hash aggs + an
+      // equality join back — the q46 shuffle shape, never a window or
+      // cartesian (an argmax window here would key on comp anyway; the
+      // relational form keeps both engines' tie semantics identical)
+      "q104_cluster_canonical" -> ("comp-keyed aggs, no window/cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") &&
+            !f.contains("BroadcastNestedLoopJoin") }),
+      // round 5c: robots sitemap discovery is one projection + explode
+      // over the host table — no join anywhere in the plan
+      "q105_robots_sitemaps" -> ("discovery is join-free",
+        p => !p.split("== Initial Plan ==").head.contains("Join")),
+      // round 5c: change-rate estimation is a per-url window (partitioned
+      // — never a single-partition sort of the capture table) + one agg
+      "q106_change_priority" -> ("per-url windows only, no cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5c: the constant rank filter must plan as WindowGroupLimit —
+      // per-task top-cap pruning BEFORE the shuffle is the whole scale
+      // story of a per-host cap (a mega-host never moves its full pages)
+      "q107_host_cap" -> ("WindowGroupLimit pre-prunes, window partitioned",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("WindowGroupLimit") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

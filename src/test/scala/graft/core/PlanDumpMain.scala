@@ -73,7 +73,13 @@ object PlanDumpMain {
       "q102_bm25_indexed" -> ("Committed-index search: reads the persisted postings, not the corpus",
         "Identical search shape to q99, but the scan side is the term-sorted parquet index (generations unioned behind the manifest) — the corpus is never touched at query time, and within each generation postings for one term cluster into few row groups (min/max pruning on the sort key)."),
       "q103_sitemap_modified" -> ("Lastmod freshness: index-sized max + one keyed join",
-        "Newest-capture-per-url is a map-side-combined max over the capture table; the lastmod parse is a projection over sitemap entries, and the strict comparison happens in one (host,url) hash join — freshness costs O(index + sitemap), page bodies never read."))
+        "Newest-capture-per-url is a map-side-combined max over the capture table; the lastmod parse is a projection over sitemap entries, and the strict comparison happens in one (host,url) hash join — freshness costs O(index + sitemap), page bodies never read."),
+      "q104_cluster_canonical" -> ("Best-member selection: comp-keyed aggs + equality join back",
+        "Keeping a cluster's longest member is per-comp max + an equality join back + per-comp min — three content-keyed hash operations, the exact shuffle shape q46's min-id policy already pays. No window, no argmax function whose tie semantics could diverge between engines."),
+      "q106_change_priority" -> ("Change-rate estimation: per-url windows over the capture index",
+        "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
+      "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
+        "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")

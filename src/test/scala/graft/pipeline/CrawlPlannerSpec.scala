@@ -210,4 +210,56 @@ class CrawlPlannerSpec extends AnyFunSuite {
     assert(sched.forall { case (_, d, w, t) => t == w * d })
     assert(byHost("slow.example").map(_._3).max == 2L) // 5 urls, 2 per wave
   }
+
+  test("robots sitemap discovery: file order kept, relative values dropped, null robots safe") {
+    import spark.implicits._
+    val sites = Seq(
+      ("a.example", "User-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.example/s1.xml\n" +
+        "SITEMAP: https://a.example/s2.xml # index\n" +
+        "Sitemap: /relative.xml\n" +
+        "Sitemap: ftp://a.example/nope.xml"),
+      ("b.example", "User-agent: *\nDisallow:"),
+      ("c.example", null.asInstanceOf[String])).toDF("host", "robots_txt")
+    val out = CrawlPlanner.discoverSitemaps(sites)
+      .select($"host", $"sitemap_url", $"pos").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // only the absolute http(s) urls survive, in file order (pos keeps the
+    // PRE-filter index — the relative line still occupied slot 2)
+    assert(out.toSet == Set(
+      ("a.example", "https://a.example/s1.xml", 0L),
+      ("a.example", "https://a.example/s2.xml", 1L)))
+  }
+
+  test("change-rate priority: transitions counted in time order, reverts count, <2 captures or zero span excluded") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val caps = Seq(
+      // steady: 3 captures, no change → priority 0 (but PRESENT)
+      ("h", "u/steady", ts("2024-01-01 00:00:00"), "A"),
+      ("h", "u/steady", ts("2024-02-01 00:00:00"), "A"),
+      ("h", "u/steady", ts("2024-03-01 00:00:00"), "A"),
+      // revert: A→B→A is TWO changes — and rows arrive out of order, the
+      // window must sort by cap_ts, not input order
+      ("h", "u/revert", ts("2024-03-01 00:00:00"), "A"),
+      ("h", "u/revert", ts("2024-01-01 00:00:00"), "A"),
+      ("h", "u/revert", ts("2024-02-01 00:00:00"), "B"),
+      // single capture: no estimable rate
+      ("h", "u/once", ts("2024-02-15 00:00:00"), "Z"),
+      // zero span: two captures at the same instant
+      ("h", "u/burst", ts("2024-02-15 00:00:00"), "A"),
+      ("h", "u/burst", ts("2024-02-15 00:00:00"), "B"))
+      .toDF("host", "url", "cap_ts", "digest")
+    val out = CrawlPlanner.changePriorities(caps,
+        lit("2024-04-15 00:00:00").cast("timestamp"))
+      .select($"url", $"n_changes", $"span_s", $"age_s", $"priority_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("u/revert", "u/steady"))
+    val revert = out.find(_._1 == "u/revert").get
+    val steady = out.find(_._1 == "u/steady").get
+    // span 60 days, age 45 days → priority = changes × 750000 exactly
+    assert(steady == (("u/steady", 0L, 5184000L, 3888000L, 0L)))
+    assert(revert == (("u/revert", 2L, 5184000L, 3888000L, 1500000L)))
+  }
 }

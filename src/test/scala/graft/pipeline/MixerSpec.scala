@@ -92,4 +92,25 @@ class MixerSpec extends AnyFunSuite {
     assert(up.filter(col("stratum") === "big").count() == 0L)
     assert(up.filter(col("stratum") === "small").count() > 0L)
   }
+
+  test("per-key cap: at most cap rows per key, order decides WHICH, under-cap keys keep all") {
+    // 'big' has 10 docs (ids 10..19), 'small' has 10 (0..9); cap at 3
+    // best-first by descending id — the kept sets are exact, not just sized
+    val kept = CorpusMixer.capPerKey(docs, "stratum", 3,
+        Seq(col("doc_id").desc))
+      .select(col("stratum"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.count(_._1 == "big") == 3)
+    assert(kept.filter(_._1 == "big").map(_._2).sorted.toSeq == Seq(17L, 18L, 19L))
+    assert(kept.filter(_._1 == "small").map(_._2).sorted.toSeq == Seq(7L, 8L, 9L))
+    // a key with fewer rows than the cap keeps everything
+    val tiny = df(Seq(Row(1L, "only"), Row(2L, "only")),
+      ("doc_id", LongType), ("stratum", StringType))
+    assert(CorpusMixer.capPerKey(tiny, "stratum", 5, Seq(col("doc_id"))).count() == 2L)
+    // deterministic across runs (md5 order, unique tiebreak)
+    def ids() = CorpusMixer.capPerKey(docs, "stratum", 4,
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == ids())
+  }
 }
