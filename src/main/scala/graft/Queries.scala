@@ -676,6 +676,27 @@ object Queries {
     * edges via a recursive CTE (reachability is identical over clique and
     * star edges, so the oracle pins the Spark star-edge shortcut too).
     */
+  /** One field's single-phase BM25 stack as DuckDB CTEs, names prefixed
+    * with `pfx` (postings → lens → stats → df → candidates → per-(qid,
+    * doc) scores in `${pfx}sc`) — the q99/q102 oracle formulation
+    * factored so q108 can run it once per field. Expects a `q(qid, term)`
+    * CTE in scope.
+    */
+  private def bm25FieldSql(src: String, pfx: String): String =
+    s"${pfx}p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM " +
+      s"(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $src) u " +
+      "WHERE len(term) > 0 GROUP BY 1, 2), " +
+      s"${pfx}lens AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ${pfx}p GROUP BY 1), " +
+      s"${pfx}stats AS (SELECT count(*)::BIGINT AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM ${pfx}lens), " +
+      s"${pfx}dfq AS (SELECT term, count(*)::BIGINT AS df FROM ${pfx}p WHERE term IN (SELECT term FROM q) GROUP BY 1), " +
+      s"${pfx}cand AS (SELECT q.qid, p.doc_id, p.tf, l.dl, s.n_docs, s.total_dl, d.df " +
+      s"FROM ${pfx}p p JOIN q USING (term) JOIN ${pfx}dfq d USING (term) " +
+      s"JOIN ${pfx}lens l USING (doc_id) CROSS JOIN ${pfx}stats s), " +
+      s"${pfx}sc AS (SELECT qid, doc_id, sum(" +
+      "(((2*(n_docs - df) + 1) * 1000000) // (2*df + 1)) * " +
+      "((2200 * tf * 1000) // (1000 * tf + (1200 * (250 + (750 * dl * n_docs) // total_dl)) // 1000)) " +
+      s"// 1000) AS score FROM ${pfx}cand GROUP BY 1, 2)"
+
   private val dupClusterCte: String =
     "WITH RECURSIVE docs AS (SELECT doc_id, " +
       "list_distinct(list_transform(generate_series(1, len(wrd)-2), i -> wrd[i]||' '||wrd[i+1]||' '||wrd[i+2])) AS w FROM " +
@@ -2796,7 +2817,49 @@ object Queries {
           "r AS (SELECT host, doc_id, row_number() OVER (PARTITION BY host " +
           "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM d) " +
           "SELECT host, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum " +
-          "FROM r WHERE rn <= 5 GROUP BY host ORDER BY host")))
+          "FROM r WHERE rn <= 5 GROUP BY host ORDER BY host")),
+
+    // Anchor-boosted fielded retrieval (BM25F's linear-combination
+    // variant — the web-IR stack where anchor text pointing AT a page
+    // outranks the page's own words): body BM25 + 3 × anchor-field BM25,
+    // each field with its OWN length norms and df (anchor streams are
+    // short; body norms would crush them), combined BEFORE ranking so a
+    // doc can make the top-k from two mid-list field scores. The anchor
+    // field here is a deterministic slice (first 4 words) so DuckDB can
+    // re-derive the whole two-field stack single-phase — in production it
+    // is q90's per-target anchor index. Scale shape: two postings scans +
+    // a candidate-sized (qid, doc) full-outer join; corpus never touched
+    // at combine time.
+    Q("q108_bm25_fielded",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val body = graft.pipeline.InvertedIndex.postings(docs)
+        val anchor = graft.pipeline.InvertedIndex.postings(docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("text")))
+        val qs = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, "data"), org.apache.spark.sql.Row(1L, "table"),
+            org.apache.spark.sql.Row(2L, "hash"), org.apache.spark.sql.Row(2L, "sort"),
+            org.apache.spark.sql.Row(2L, "group"), org.apache.spark.sql.Row(3L, "slow")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+        graft.pipeline.InvertedIndex.searchTopKFielded(body, anchor, qs, k = 5)
+          .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        "WITH q(qid, term) AS (VALUES (1, 'data'), (1, 'table'), (2, 'hash'), " +
+          "(2, 'sort'), (2, 'group'), (3, 'slow')), " +
+          "anchordocs AS (SELECT doc_id, array_to_string((string_split(text, ' '))[1:4], ' ') AS text FROM documents), " +
+          bm25FieldSql("documents", "b") + ", " +
+          bm25FieldSql("anchordocs", "an") + ", " +
+          "comb AS (SELECT COALESCE(b.qid, a.qid) AS qid, COALESCE(b.doc_id, a.doc_id) AS doc_id, " +
+          "COALESCE(b.score, 0) + 3 * COALESCE(a.score, 0) AS score " +
+          "FROM bsc b FULL JOIN ansc a ON b.qid = a.qid AND b.doc_id = a.doc_id), " +
+          "ranked AS (SELECT qid, doc_id, CAST(score AS BIGINT) AS score, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM comb) " +
+          "SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -143,7 +143,16 @@ object InvertedIndex {
     * `score`, `rank`) with `rank` 1-based, ties broken by `doc_id` so the
     * result is total-ordered and engine-reproducible.
     */
-  def searchTopK(posts: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def searchTopK(posts: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    rankTopK(scores(posts, queries), k)
+
+  /** Un-ranked BM25 scores per (qid, doc_id) — the scoring half of
+    * [[searchTopK]], exposed so fielded search can COMBINE per-field
+    * scores before ranking (ranking per field first and merging top-k
+    * lists would be wrong: a doc can make the combined top-k from two
+    * mid-list field scores).
+    */
+  def scores(posts: DataFrame, queries: DataFrame): DataFrame = {
     val lens = posts.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
@@ -172,8 +181,42 @@ object InvertedIndex {
         expr("(2200L * tf * 1000L) div (1000L * tf + (1200L * norm_ppk) div 1000L)"))
       .withColumn("contrib",
         expr("(cast(idf_ppm AS decimal(38,0)) * sat_ppk) div 1000"))
-    val scored = cand.groupBy(col("qid"), col("doc_id"))
+    cand.groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).cast("long").as("score"))
+  }
+
+  /** Anchor-boosted fielded search — the web-IR signal stack: body BM25
+    * plus `anchorWeight` × anchor-field BM25 (the linear field
+    * combination; each field keeps its OWN length norms and df — anchor
+    * streams are short and repetitive, body norms would crush them).
+    * A doc matched only through anchors pointing AT it still ranks —
+    * the classic "page never says its own name" case (full-outer score
+    * join). Scale shape: two postings scans + one (qid, doc)-keyed
+    * candidate-sized join; the corpus is never touched.
+    *
+    * @param bodyPosts   postings over document body text
+    * @param anchorPosts postings over the anchor text aggregated per
+    *                    TARGET doc (q90's anchor index shape)
+    */
+  def searchTopKFielded(bodyPosts: DataFrame, anchorPosts: DataFrame,
+      queries: DataFrame, k: Int, anchorWeight: Long = 3L): DataFrame = {
+    val b = scores(bodyPosts, queries)
+      .withColumnRenamed("score", "body_score")
+    val a = scores(anchorPosts, queries)
+      .withColumnRenamed("score", "anchor_score")
+    val combined = b.join(a, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(col("body_score"), lit(0L)) +
+          lit(anchorWeight) * coalesce(col("anchor_score"), lit(0L))).as("score"))
+    rankTopK(combined, k)
+  }
+
+  /** Two-phase top-k over (qid, doc_id, score): per-hash-shard partial
+    * rank → global rank, provably ≡ the single-phase window (each shard
+    * keeps its k best, the union holds every global top-k member), while
+    * no task ever sorts a query's full candidate set.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("qid"), col("__shard"))
       .orderBy(col("score").desc, col("doc_id"))
     val wGlobal = Window.partitionBy(col("qid"))

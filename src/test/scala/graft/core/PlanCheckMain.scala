@@ -134,6 +134,13 @@ object PlanCheckMain {
       "q107_host_cap" -> ("WindowGroupLimit pre-prunes, window partitioned",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("WindowGroupLimit") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5c: fielded search keeps q99's contract per field — query
+      // terms/df broadcast, every window partitioned — and the field
+      // combine is a keyed join, never a cartesian
+      "q108_bm25_fielded" -> ("broadcast terms, keyed combine, windows partitioned",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") &&
             !f.contains("Exchange SinglePartition\n   +- Window") }))
 
     graft.Queries.all.foreach { q =>

@@ -79,7 +79,9 @@ object PlanDumpMain {
       "q106_change_priority" -> ("Change-rate estimation: per-url windows over the capture index",
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
-        "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."))
+        "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q108_bm25_fielded" -> ("Fielded BM25: per-field scoring, candidate-sized combine",
+        "Each field runs q99's scoring shape (terms and df broadcast into its postings scan, per-(qid, doc) partial aggregation); the cross-field combine is a (qid, doc)-keyed full-outer join over CANDIDATE sets — thousands of rows, not the corpus — and ranking stays the two-phase sharded top-k. Anchor evidence joins body evidence without ever re-scanning either index."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")

@@ -143,6 +143,45 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(pset(InvertedIndex.read(spark, idx)).contains(("zz", 1000L, 1L)))
   }
 
+  test("fielded search: combined = body + w×anchor, anchor-only docs rank, combination happens BEFORE top-k") {
+    // doc 1 says 'cat' in body only; doc 2 is pointed AT by 'cat' anchors
+    // but never says it; docs 3..40 are filler so df/norms are non-trivial
+    val body = InvertedIndex.postings(df(
+      Row(1L, "cat food bowl") +: Row(2L, "pet supplies") +:
+        (3L until 40L).map(i => Row(i, s"filler w${i % 5} w${i % 7}")),
+      ("doc_id", LongType), ("text", StringType)))
+    val anchor = InvertedIndex.postings(df(
+      Seq(Row(2L, "cat cat toys"), Row(1L, "boring link"), Row(5L, "cat")),
+      ("doc_id", LongType), ("text", StringType)))
+    val qs = df(Seq(Row(1L, "cat")), ("qid", LongType), ("term", StringType))
+
+    def collect(d: org.apache.spark.sql.DataFrame) = d
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+
+    val fielded = collect(InvertedIndex.searchTopK(body, qs, k = 5)) // placeholder shape check
+    assert(fielded.nonEmpty)
+
+    val out = collect(InvertedIndex.searchTopKFielded(body, anchor, qs, k = 5, anchorWeight = 3L))
+    // manual combination from the un-ranked per-field scores
+    def scoreMap(p: org.apache.spark.sql.DataFrame) =
+      InvertedIndex.scores(p, qs).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score")).toMap
+    val b = scoreMap(body); val a = scoreMap(anchor)
+    val expected = (b.keySet ++ a.keySet).toSeq
+      .map(id => (id, b.getOrElse(id, 0L) + 3L * a.getOrElse(id, 0L)))
+      .sortBy { case (id, sc) => (-sc, id) }.take(5).zipWithIndex
+      .map { case ((id, sc), i) => (1L, (i + 1).toLong, id, sc) }.sorted
+    assert(out.toSeq == expected.toSeq)
+    // the anchor-only docs (2 and 5 never say 'cat' in their bodies) RANK —
+    // the "page never says its own name" case the full-outer join exists
+    // for; doc 1 still wins because body idf (df 1 of 39) dwarfs the
+    // anchor field's idf (df 2 of 3) even at 3× weight — fielded scoring
+    // keeps per-field df exactly so common anchor words can't take over
+    val ranks = out.map(t => t._3 -> t._2).toMap
+    assert(ranks(1L) == 1L && ranks.contains(2L) && ranks.contains(5L))
+  }
+
   test("a query term absent from the corpus contributes nothing; unmatched query returns no rows") {
     val docs = df(Seq(Row(1L, "x y"), Row(2L, "y z")),
       ("doc_id", LongType), ("text", StringType))
