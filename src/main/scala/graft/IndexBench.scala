@@ -64,9 +64,10 @@ object IndexBench {
     val fullDir = java.nio.file.Files.createTempDirectory("graft-idxbench-full").toString
     val fullSec = timed { InvertedIndex.append(spark, docs(spark, 0, total), fullDir) }
 
-    // query cost: multi-generation read vs compacted read
+    // query cost: multi-generation read vs compacted read (the stats-aware
+    // committed path — lengths from l<g>, stats from the manifest)
     def search(dir: String): Long =
-      InvertedIndex.searchTopK(InvertedIndex.read(spark, dir), qs, k = 10).count()
+      InvertedIndex.searchTopKIndexed(spark, dir, qs, k = 10).count()
     val qMulti = timed(search(idxDir))
     val compactSec = timed { InvertedIndex.compactGenerations(spark, idxDir) }
     val qCompact = timed(search(idxDir))

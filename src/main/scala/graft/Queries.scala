@@ -2598,7 +2598,6 @@ object Queries {
     // parquet index, never the corpus.
     Q("q102_bm25_indexed",
       (s, dir) => {
-        val posts = graft.pipeline.InvertedIndex.read(s, bm25IndexOut(s, dir))
         val qs = s.createDataFrame(java.util.Arrays.asList(
             org.apache.spark.sql.Row(1L, "data"), org.apache.spark.sql.Row(1L, "table"),
             org.apache.spark.sql.Row(2L, "hash"), org.apache.spark.sql.Row(2L, "sort"),
@@ -2606,7 +2605,9 @@ object Queries {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
-        graft.pipeline.InvertedIndex.searchTopK(posts, qs, k = 5)
+        // searchTopKIndexed: lengths from the stored l<g> tables, stats
+        // from the manifest — the query never re-aggregates the index
+        graft.pipeline.InvertedIndex.searchTopKIndexed(s, bm25IndexOut(s, dir), qs, k = 5)
           .select(col("qid"), col("rank"), col("doc_id"), col("score"))
           .orderBy(col("qid"), col("rank"))
       },

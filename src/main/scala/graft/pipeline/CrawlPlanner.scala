@@ -233,7 +233,10 @@ object CrawlPlanner {
     * than 2 captures (or zero span) carry no estimate and are EXCLUDED —
     * single-capture freshness is the age policy's business, never-captured
     * urls are novelty's (the disjoint-contract discipline of
-    * [[modifiedSince]]). Scale shape: one per-url sort-free aggregation
+    * [[modifiedSince]]). A null digest (a capture without a checksum)
+    * never counts as a transition on either side of itself — missing
+    * evidence is not change evidence. Feed the output to [[rankedWaves]]
+    * as the rank signal, or threshold it into [[plan]]'s `recrawl` set. Scale shape: one per-url sort-free aggregation
     * pass over the capture INDEX (digest transitions via a per-url
     * window, partitioned — never global), corpus bodies never read.
     * Products ride decimal(38,0): changes × age_s × 10⁶ exceeds Long for

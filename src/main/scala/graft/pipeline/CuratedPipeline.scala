@@ -557,7 +557,7 @@ object CuratedPipeline {
       minTextLength: Int = 1, minQuality: Double = 0.0,
       honorNoindex: Boolean = true, clusterByCanonical: Boolean = true,
       gopherGate: Boolean = false, scrubPii: Boolean = false,
-      templateStrip: Boolean = false,
+      templateStrip: Boolean = false, hostCap: Option[Int] = None,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
@@ -611,7 +611,19 @@ object CuratedPipeline {
             col("__scrub.n_emails") + col("__scrub.n_ips") + col("__scrub.n_phones"))
           .drop("__scrub")
       }
-    val curateLineage = run(spark, gated, s"$outDir/curated",
+    // domain balancing LAST among the gates (the cap picks among pages
+    // that already passed quality/template/scrub) and BEFORE dedup: at
+    // most `cap` pages per host enter the corpus, chosen by md5-of-id —
+    // an unbiased per-host sample, q107's operator as a pipeline stage
+    val balanced = hostCap match {
+      case None => gated
+      case Some(cap) =>
+        CorpusMixer.capPerKey(
+            gated.withColumn("__host", SkewTools.hostOf(col("url"))),
+            "__host", cap, Seq(md5(col("id").cast("string")), col("id")))
+          .drop("__host")
+    }
+    val curateLineage = run(spark, balanced, s"$outDir/curated",
       idCol = "id", textCol = "extracted_text",
       numBuckets = numBuckets, snapshotGroups = snapshotGroups,
       runId = runId,

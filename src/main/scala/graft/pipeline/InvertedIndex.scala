@@ -58,21 +58,42 @@ object InvertedIndex {
 
   private def manifest(idxDir: String) = Paths.get(idxDir, "index_manifest.jsonl")
 
-  /** Committed generation numbers, in commit order. */
-  def committedGens(idxDir: String): Seq[Long] = {
+  /** One committed generation's manifest entry: postings live under
+    * `g<gen>/`, per-doc lengths under `l<gen>/`, and the corpus stats a
+    * BM25 search needs (`nDocs`, `totalDl`) are IN the manifest — a
+    * search never scans the index to learn them.
+    */
+  final case class IndexGen(gen: Long, nDocs: Long, totalDl: Long)
+
+  /** Committed generation metadata, in commit order. */
+  def committedMeta(idxDir: String): Seq[IndexGen] = {
     val mf = manifest(idxDir)
     if (!Files.exists(mf)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      val p = java.util.regex.Pattern.compile("\"gen\":(\\d+)")
+      val p = java.util.regex.Pattern.compile(
+        "\"gen\":(\\d+).*\"n_docs\":(\\d+).*\"total_dl\":(\\d+)")
       Files.readAllLines(mf).asScala.toSeq.flatMap { line =>
-        val m = p.matcher(line); if (m.find()) Some(m.group(1).toLong) else None
-      }.distinct
+        val m = p.matcher(line)
+        if (m.find()) Some(IndexGen(m.group(1).toLong, m.group(2).toLong,
+          m.group(3).toLong))
+        else None
+      }.distinctBy(_.gen)
     }
   }
 
+  /** Committed generation numbers, in commit order. */
+  def committedGens(idxDir: String): Seq[Long] = committedMeta(idxDir).map(_.gen)
+
   /** Index `docs` into a new generation and commit it. First call creates
-    * the index; later calls are the O(new-data) incremental append.
+    * the index; later calls are the O(new-data) incremental append. Each
+    * generation persists its postings (term-sorted), its per-doc length
+    * table, and its (n_docs, total_dl) stats in the manifest line — the
+    * search-time inputs a real engine stores at INDEX time, because
+    * recomputing lengths per query would scan the whole index
+    * ([[searchTopKIndexed]] reads them instead). Stats are additive
+    * across generations exactly because appended docs are disjoint (the
+    * documented contract).
     */
   def append(spark: SparkSession, docs: DataFrame, idxDir: String,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
@@ -83,10 +104,15 @@ object InvertedIndex {
     // so a term-keyed read touches few row groups (min/max pruning)
     p.sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$idxDir/g$g")
-    val nDocs = p.select(col("doc_id")).distinct().count()
+    spark.read.parquet(s"$idxDir/g$g")
+      .groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$idxDir/l$g")
+    val st = spark.read.parquet(s"$idxDir/l$g")
+      .agg(count(lit(1)).cast("long"), sum(col("dl")).cast("long")).head()
+    val (nDocs, totalDl) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
     Files.createDirectories(Paths.get(idxDir))
     Files.write(manifest(idxDir),
-      (s"""{"gen":$g,"n_docs":$nDocs}""" + "\n").getBytes("UTF-8"),
+      (s"""{"gen":$g,"n_docs":$nDocs,"total_dl":$totalDl}""" + "\n").getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     g
   }
@@ -100,6 +126,40 @@ object InvertedIndex {
     gens.map(g => spark.read.parquet(s"$idxDir/g$g")).reduce(_.unionByName(_))
   }
 
+  /** Per-doc length table across committed generations — valid as a plain
+    * union because appended docs are disjoint.
+    */
+  def readLens(spark: SparkSession, idxDir: String): DataFrame = {
+    val gens = committedGens(idxDir)
+    require(gens.nonEmpty, s"no committed index at $idxDir")
+    gens.map(g => spark.read.parquet(s"$idxDir/l$g")).reduce(_.unionByName(_))
+  }
+
+  /** Corpus stats straight from the manifest — no index scan at all. */
+  def readStats(spark: SparkSession, idxDir: String): DataFrame = {
+    val meta = committedMeta(idxDir)
+    require(meta.nonEmpty, s"no committed index at $idxDir")
+    spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(meta.map(_.nDocs).sum, meta.map(_.totalDl).sum)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("total_dl",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Search the COMMITTED index: postings term-pruned from the sorted
+    * parquet generations, per-doc lengths read from the stored `l<g>`
+    * tables, corpus stats from the manifest — no query ever re-aggregates
+    * the index to recover what append time already knew. This is the
+    * index-backed twin of [[searchTopK]], value-identical by the
+    * disjoint-append contract.
+    */
+  def searchTopKIndexed(spark: SparkSession, idxDir: String,
+      queries: DataFrame, k: Int): DataFrame =
+    rankTopK(scoresWith(read(spark, idxDir), readLens(spark, idxDir),
+      readStats(spark, idxDir), queries), k)
+
   /** Fold all committed generations into one. The fold is written as a new
     * generation first; the manifest REWRITE (tmp + atomic move) is the
     * commit point, and a reader holds either the old generation list or
@@ -108,30 +168,35 @@ object InvertedIndex {
     * never wrong reads; [[vacuum]] finishes the job on replay).
     */
   def compactGenerations(spark: SparkSession, idxDir: String): Unit = {
-    val gens = committedGens(idxDir)
-    if (gens.length <= 1) return
-    val g = gens.max + 1
-    val all = read(spark, idxDir)
-    all.sortWithinPartitions(col("term"))
+    val meta = committedMeta(idxDir)
+    if (meta.length <= 1) return
+    val g = meta.map(_.gen).max + 1
+    read(spark, idxDir).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$idxDir/g$g")
-    val nDocs = all.select(col("doc_id")).distinct().count()
+    readLens(spark, idxDir)
+      .write.mode("overwrite").parquet(s"$idxDir/l$g")
+    // stats are additive under the disjoint-append contract — the fold's
+    // manifest line is pure arithmetic, no recount
+    val (nDocs, totalDl) = (meta.map(_.nDocs).sum, meta.map(_.totalDl).sum)
     val tmp = Paths.get(idxDir, s".index_manifest.tmp$g")
-    Files.write(tmp, (s"""{"gen":$g,"n_docs":$nDocs}""" + "\n").getBytes("UTF-8"))
+    Files.write(tmp,
+      (s"""{"gen":$g,"n_docs":$nDocs,"total_dl":$totalDl}""" + "\n").getBytes("UTF-8"))
     Files.move(tmp, manifest(idxDir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     vacuum(spark, idxDir)
   }
 
-  /** Remove generation directories the manifest no longer references
-    * (superseded by compaction, or orphaned by a torn append).
+  /** Remove generation/length directories the manifest no longer
+    * references (superseded by compaction, or orphaned by a torn append).
     */
   def vacuum(spark: SparkSession, idxDir: String): Unit = {
-    val live = committedGens(idxDir).map(g => s"g$g").toSet
+    val gens = committedGens(idxDir)
+    val live = gens.map(g => s"g$g").toSet ++ gens.map(g => s"l$g").toSet
     val dir = Paths.get(idxDir)
     if (!Files.exists(dir)) return
     import scala.jdk.CollectionConverters._
     Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("g\\d+") &&
+      .filter(p => p.getFileName.toString.matches("[gl]\\d+") &&
         !live.contains(p.getFileName.toString))
       .foreach { p =>
         Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -157,6 +222,15 @@ object InvertedIndex {
       .agg(sum(col("tf")).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("total_dl"))
+    scoresWith(posts, lens, stats, queries)
+  }
+
+  /** [[scores]] with the doc-length table and (n_docs, total_dl) stats
+    * supplied — what the committed index stores at append time so a query
+    * never re-aggregates the postings to recover them.
+    */
+  def scoresWith(posts: DataFrame, lens: DataFrame, stats: DataFrame,
+      queries: DataFrame): DataFrame = {
     // distinct: a query built by tokenizing user text can repeat a term,
     // and a duplicate (qid, term) row would double that term's BM25
     // contribution (tf already carries within-doc frequency; the query

@@ -153,6 +153,40 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(keptOff.nonEmpty && keptOff.forall(_.contains(footer)))
   }
 
+  test("hostCap balances domains in the composed pipeline: per-host kept counts bounded, under-cap hosts untouched") {
+    import spark.implicits._
+    def content(h: String, i: Int) =
+      s"${h}w$i ${h}unique$i ${h}words$i ${h}here$i ${h}now$i ${h}extra$i ${h}tail$i ${h}end$i"
+    // three hosts with 6 / 4 / 2 pages of fully distinct content
+    val rows = (for ((h, n) <- Seq(("a", 6), ("b", 4), ("c", 2)); i <- 1 to n)
+      yield Page(s"https://$h.example/p$i", ts("2024-03-01 10:00:00"),
+        Array.empty[Byte], content(h, i), "en")).toVector
+    val pages = spark.createDataset(rows)
+
+    val out = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out,
+      numBuckets = 4, snapshotGroups = 1, runId = "hostcap", hostCap = Some(3))
+    val byHost = CuratedPipeline.readKept(spark, s"$out/curated")
+      .withColumn("h", SkewTools.hostOf($"url"))
+      .groupBy($"h").count().as[(String, Long)].collect().toMap
+    assert(byHost == Map("a.example" -> 3L, "b.example" -> 3L, "c.example" -> 2L),
+      s"cap 3 must bound a/b and leave c whole, got $byHost")
+
+    // determinism: the same input caps to the SAME kept id set
+    val out2 = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out2,
+      numBuckets = 4, snapshotGroups = 1, runId = "hostcap2", hostCap = Some(3))
+    def ids(o: String) = CuratedPipeline.readKept(spark, s"$o/curated")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(ids(out) == ids(out2))
+
+    // without the cap every distinct page survives
+    val outOff = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outOff,
+      numBuckets = 4, snapshotGroups = 1, runId = "hostcap-off")
+    assert(CuratedPipeline.readKept(spark, s"$outOff/curated").count() == 12L)
+  }
+
   test("site-declared canonical groups collapse to one kept doc in the composed pipeline") {
     import spark.implicits._
     val n = 600L

@@ -117,25 +117,44 @@ class InvertedIndexSpec extends AnyFunSuite {
     InvertedIndex.postings(docs.limit(5)).write.parquet(s"$idx/g99")
     assert(pset(InvertedIndex.read(spark, idx)) == pset(InvertedIndex.read(spark, full)))
 
-    // search over the committed index == search over inline postings
+    // search over the committed index == search over inline postings —
+    // BOTH through the generic path and through the stats-aware indexed
+    // path (stored l<g> lengths + manifest stats, no re-aggregation)
     val qs = df(Seq(Row(1L, "w3"), Row(1L, "w10"), Row(2L, "w1")),
       ("qid", LongType), ("term", StringType))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
     def topk(p: org.apache.spark.sql.DataFrame) =
-      InvertedIndex.searchTopK(p, qs, k = 7)
-        .select("qid", "rank", "doc_id", "score").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      rows(InvertedIndex.searchTopK(p, qs, k = 7))
     val expected = topk(InvertedIndex.postings(docs))
     assert(topk(InvertedIndex.read(spark, idx)).sameElements(expected))
+    assert(rows(InvertedIndex.searchTopKIndexed(spark, idx, qs, k = 7))
+      .sameElements(expected))
+    // stored lengths/stats == what a full recomputation would derive
+    val lensStored = InvertedIndex.readLens(spark, idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toMap
+    val lensFresh = InvertedIndex.postings(docs).groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"))).toMap
+    assert(lensStored == lensFresh)
+    val st = InvertedIndex.readStats(spark, idx).head()
+    assert(st.getLong(0) == 200L && st.getLong(1) == lensFresh.values.sum)
 
-    // compaction folds to ONE generation, drops the orphan, stays exact
+    // compaction folds to ONE generation, drops the orphan, stays exact —
+    // including the stats-aware search and the folded length table
     InvertedIndex.compactGenerations(spark, idx)
     assert(InvertedIndex.committedGens(idx).length == 1)
     assert(pset(InvertedIndex.read(spark, idx)) == pset(InvertedIndex.read(spark, full)))
     assert(topk(InvertedIndex.read(spark, idx)).sameElements(expected))
+    assert(rows(InvertedIndex.searchTopKIndexed(spark, idx, qs, k = 7))
+      .sameElements(expected))
+    assert(InvertedIndex.readStats(spark, idx).head().getLong(0) == 200L)
+    val gen = InvertedIndex.committedGens(idx).head
     val leftover = new java.io.File(idx).listFiles()
-      .map(_.getName).filter(_.matches("g\\d+")).toSet
-    assert(leftover == Set(s"g${InvertedIndex.committedGens(idx).head}"),
-      s"superseded/orphan generation dirs must be vacuumed, found $leftover")
+      .map(_.getName).filter(_.matches("[gl]\\d+")).toSet
+    assert(leftover == Set(s"g$gen", s"l$gen"),
+      s"superseded/orphan generation + length dirs must be vacuumed, found $leftover")
 
     // appends keep working after a fold
     InvertedIndex.append(spark,
