@@ -70,8 +70,8 @@ object PlanDumpMain {
         "The native NfcNormalize expression runs inside the scan's projection (WholeStageCodegen span), so normalize→hash→compare chains never leave generated code — the required pre-hash canonicalization costs zero extra passes at any corpus size."),
       "q101_crawl_delay" -> ("Crawl-delay timing: per-host broadcast + per-host windows",
         "Parsed delays live on the host table and broadcast into the frontier; wave assignment is a window PARTITIONED BY host — per-host timelines are independent by construction, so the schedule never sorts the global frontier."),
-      "q102_bm25_indexed" -> ("Committed-index search: reads the persisted postings, not the corpus",
-        "Identical search shape to q99, but the scan side is the term-sorted parquet index (generations unioned behind the manifest) — the corpus is never touched at query time, and within each generation postings for one term cluster into few row groups (min/max pruning on the sort key)."),
+      "q102_bm25_indexed" -> ("Committed-index search: stored postings, stored lengths, manifest stats",
+        "The scan side is the term-sorted parquet index (generations unioned behind the manifest; postings for one term cluster into few row groups via min/max pruning), doc lengths come from the stored l<g> tables, and corpus stats enter as a 1-row broadcast built from the manifest — compared with q99's inline shape, the whole-postings length re-aggregation is GONE from the plan (11 fewer operators), which is what makes query cost independent of index-building work."),
       "q103_sitemap_modified" -> ("Lastmod freshness: index-sized max + one keyed join",
         "Newest-capture-per-url is a map-side-combined max over the capture table; the lastmod parse is a projection over sitemap entries, and the strict comparison happens in one (host,url) hash join — freshness costs O(index + sitemap), page bodies never read."),
       "q104_cluster_canonical" -> ("Best-member selection: comp-keyed aggs + equality join back",
