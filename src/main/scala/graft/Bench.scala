@@ -101,6 +101,25 @@ object Bench {
       extractionThroughput(spark, nDocs, cpus.toInt * 2))
     val docsPerSec = probeSamples.max
 
+    // IO-SIDE control (round-5c finding: totals and the pure-CPU control
+    // DECOUPLE when co-tenant pressure is IO-side — an in-band CPU control
+    // coexisted with a 30% worse total). Probe: wall time of a full
+    // cold-ish scan+write round trip over a fixed table, reported as raw
+    // per-rep seconds so a reader can bracket the cache-/IO-sensitive
+    // heavy queries (q67/q48/q64/q76) the CPU number cannot.
+    val ioProbeSamples = (0 until 2).map { rep =>
+      val t0 = System.nanoTime()
+      val out = java.nio.file.Files.createTempDirectory(s"graft-ioprobe$rep").toString
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).head()
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      dt
+    }
+
     // PRE-BUILD the shared committed tables (timed separately — scaladoc
     // on tableBuilders). The builders' query sides re-run warm in the loop.
     val builds = tableBuilders.map { name =>
@@ -128,7 +147,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJson = probeSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
     val gateJson = gateSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"builds":$buildJson,"build_total_s":$buildTotal%.3f,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_probe_samples":$samplesJson,"ref_single_thread_docs_per_sec":$refRate%.1f,"control_gate_samples":$gateJson,"host_degraded":$hostDegraded,"extract_docs":$nDocs,"cpus":$cpus}""")
+    val ioJson = ioProbeSamples.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"builds":$buildJson,"build_total_s":$buildTotal%.3f,"failed":$failedJson,"sf":"$sfDir","extract_docs_per_sec":$docsPerSec%.1f,"extract_probe_samples":$samplesJson,"ref_single_thread_docs_per_sec":$refRate%.1f,"control_gate_samples":$gateJson,"io_probe_secs":$ioJson,"host_degraded":$hostDegraded,"extract_docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }
