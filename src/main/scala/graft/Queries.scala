@@ -2860,7 +2860,44 @@ object Queries {
           "ranked AS (SELECT qid, doc_id, CAST(score AS BIGINT) AS score, " +
           "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM comb) " +
           "SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id, score " +
-          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")))
+          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // Percentile length trim (the distribution-relative cousin of
+    // Gopher's FIXED length bounds, q69): drop docs outside [P10, P99]
+    // of the corpus token-count distribution — cutoffs follow the corpus
+    // instead of hardcoding "50..100k words". EXACT percentiles (Spark
+    // `percentile` ≡ DuckDB `quantile_cont`, both linear interpolation at
+    // rank p×(n−1)) — exact stays scale-safe here because the aggregation
+    // state is count-per-distinct-LENGTH (bounded by the longest doc, not
+    // corpus size), then the two cutoffs broadcast as a 1-row table and
+    // the trim is a codegen'd filter — the q80 sample-cutoff discipline
+    // with a distribution-exact threshold.
+    Q("q109_length_trim",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        val cuts = docs.agg(
+          expr("percentile(n_tokens, 0.10D)").as("p10"),
+          expr("percentile(n_tokens, 0.99D)").as("p99"))
+        docs.crossJoin(broadcast(cuts))
+          .withColumn("kept",
+            col("n_tokens") >= col("p10") && col("n_tokens") <= col("p99"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("kept"), col("doc_id")).otherwise(0L)).cast("long").as("kept_id_sum"),
+            max(when(col("kept"), col("n_tokens"))).cast("long").as("kept_max_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, lang, len(string_split(text,' '))::BIGINT AS n_tokens FROM documents), " +
+          "c AS (SELECT quantile_cont(n_tokens, 0.10) AS p10, quantile_cont(n_tokens, 0.99) AS p99 FROM d), " +
+          "k AS (SELECT d.*, (n_tokens >= p10 AND n_tokens <= p99) AS kept FROM d CROSS JOIN c) " +
+          "SELECT lang, count(*) AS n_docs, " +
+          "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+          "CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum, " +
+          "CAST(max(CASE WHEN kept THEN n_tokens END) AS BIGINT) AS kept_max_tokens " +
+          "FROM k GROUP BY lang ORDER BY lang")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

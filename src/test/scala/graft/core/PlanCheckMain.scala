@@ -141,7 +141,14 @@ object PlanCheckMain {
       "q108_bm25_fielded" -> ("broadcast terms, keyed combine, windows partitioned",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") &&
-            !f.contains("Exchange SinglePartition\n   +- Window") }))
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5c: the two exact-percentile cutoffs ride a 1-row broadcast
+      // into a codegen'd filter — no sort, no window, no corpus shuffle
+      // beyond the percentile aggregation itself
+      "q109_length_trim" -> ("cutoffs broadcast, no window/sort on corpus",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("SortMergeJoin") && !f.contains("Window") &&
+            f.contains("BroadcastNestedLoopJoin") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

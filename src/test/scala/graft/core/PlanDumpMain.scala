@@ -80,6 +80,8 @@ object PlanDumpMain {
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
         "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q109_length_trim" -> ("Percentile trim: count-per-length aggregation state, 1-row broadcast cutoffs",
+        "EXACT percentiles stay scale-safe because the aggregation state is count-per-distinct-length (bounded by the longest doc, not the corpus); the two cutoffs then enter as a 1-row broadcast and the trim is a codegen'd filter — a distribution-relative gate for the cost of one scan plus a scalar aggregate."),
       "q108_bm25_fielded" -> ("Fielded BM25: per-field scoring, candidate-sized combine",
         "Each field runs q99's scoring shape (terms and df broadcast into its postings scan, per-(qid, doc) partial aggregation); the cross-field combine is a (qid, doc)-keyed full-outer join over CANDIDATE sets — thousands of rows, not the corpus — and ranking stays the two-phase sharded top-k. Anchor evidence joins body evidence without ever re-scanning either index."))
 
