@@ -2897,7 +2897,139 @@ object Queries {
           "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
           "CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum, " +
           "CAST(max(CASE WHEN kept THEN n_tokens END) AS BIGINT) AS kept_max_tokens " +
-          "FROM k GROUP BY lang ORDER BY lang")))
+          "FROM k GROUP BY lang ORDER BY lang")),
+
+    // Positional phrase search — the retrieval mode the bag-of-words BM25
+    // stack (q99/q102/q108) structurally cannot answer: "batch batch" is
+    // NOT "two batch tokens anywhere". Tokens carry their 1-based split
+    // position; a phrase occurs at anchor p iff token(p+off) matches the
+    // phrase term at every offset — counted relationally as
+    // DISTINCT-offset completion per (query, doc, anchor), so repeated
+    // terms inside one phrase ("batch batch batch") and OVERLAPPING
+    // occurrences both count exactly. Scale shape: phrase terms broadcast
+    // into ONE positional-token scan, two content-keyed aggregations, and
+    // the sharded two-phase top-k — no token-stream self-join, no window
+    // over the corpus.
+    Q("q110_phrase_search",
+      (s, dir) => {
+        val toks = graft.pipeline.InvertedIndex.tokensPositional(t(s, dir, "documents"))
+        val ph = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1L, 0L, "batch"), org.apache.spark.sql.Row(1L, 1L, "batch"),
+            org.apache.spark.sql.Row(2L, 0L, "window"), org.apache.spark.sql.Row(2L, 1L, "window"),
+            org.apache.spark.sql.Row(3L, 0L, "table"), org.apache.spark.sql.Row(3L, 1L, "scan"),
+            org.apache.spark.sql.Row(4L, 0L, "batch"), org.apache.spark.sql.Row(4L, 1L, "batch"),
+            org.apache.spark.sql.Row(4L, 2L, "batch")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("off", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
+        graft.pipeline.InvertedIndex.phraseTopK(toks, ph, k = 5)
+          .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
+          "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+          "ph(qid, off, term) AS (VALUES (1, 0, 'batch'), (1, 1, 'batch'), " +
+          "(2, 0, 'window'), (2, 1, 'window'), (3, 0, 'table'), (3, 1, 'scan'), " +
+          "(4, 0, 'batch'), (4, 1, 'batch'), (4, 2, 'batch')), " +
+          "plen AS (SELECT qid, count(*) AS plen FROM ph GROUP BY 1), " +
+          "hits AS (SELECT ph.qid, tok.doc_id, tok.pos - 1 - ph.off AS anchor, ph.off " +
+          "FROM tok JOIN ph USING (term)), " +
+          "occ AS (SELECT qid, doc_id, anchor, count(DISTINCT off) AS nmatch " +
+          "FROM hits GROUP BY 1, 2, 3), " +
+          "fm AS (SELECT o.qid, o.doc_id FROM occ o JOIN plen USING (qid) WHERE o.nmatch = plen.plen), " +
+          "sc AS (SELECT qid, doc_id, count(*)::BIGINT AS score FROM fm GROUP BY 1, 2), " +
+          "ranked AS (SELECT qid, doc_id, score, " +
+          "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+          "SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, doc_id, score " +
+          "FROM ranked WHERE rank <= 5 ORDER BY qid, rank")),
+
+    // UT1-style domain blocklist — the curation gate that drops documents
+    // by HOST before any content analysis (the published adult/ads/
+    // tracker lists RefinedWeb/FineWeb filter with). DNS-suffix
+    // semantics: a rule covers its domain and every subdomain; the most
+    // specific (longest in labels) matching rule decides; category
+    // `allow` is a whitelist exception re-admitting the host. Hosts are
+    // synthesized from doc_id in BOTH dialects (the q72 discipline);
+    // planted cases cover subdomain-under-blocked-domain, the allow
+    // exception beating its parent block, a subdomain-only rule that must
+    // NOT block its parent, and unlisted hosts. The Spark side runs the
+    // GENERIC longest-match operator (UrlBlocklist.decisions); the oracle
+    // exploits the ≤3-label host shape with specificity-ordered joins.
+    Q("q111_url_blocklist",
+      (s, dir) => {
+        val did = col("doc_id")
+        val hosts = t(s, dir, "documents").select(did,
+          concat(
+            when(pmod(did, lit(3)) === 0, lit("ads."))
+              .when(pmod(did, lit(3)) === 1, lit("ok."))
+              .otherwise(lit("")),
+            lit("dom"), pmod(did, lit(11)).cast("string"),
+            when(pmod(did, lit(2)) === 0, lit(".com")).otherwise(lit(".org"))).as("host"))
+        val rules = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row("dom3.com", "ads"),
+            org.apache.spark.sql.Row("dom5.org", "adult"),
+            org.apache.spark.sql.Row("ads.dom7.com", "tracker"),
+            org.apache.spark.sql.Row("ok.dom3.com", "allow")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pattern", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("category", org.apache.spark.sql.types.StringType))))
+        graft.pipeline.UrlBlocklist.decisions(hosts, rules)
+          .groupBy(col("category"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("category"))
+      },
+      Some(
+        "WITH h AS (SELECT doc_id, " +
+          "(CASE doc_id % 3 WHEN 0 THEN 'ads.' WHEN 1 THEN 'ok.' ELSE '' END) || reg AS host, reg " +
+          "FROM (SELECT doc_id, 'dom' || (doc_id % 11)::VARCHAR || " +
+          "(CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS reg FROM documents)), " +
+          "r(pattern, category) AS (VALUES ('dom3.com', 'ads'), ('dom5.org', 'adult'), " +
+          "('ads.dom7.com', 'tracker'), ('ok.dom3.com', 'allow')), " +
+          "m AS (SELECT h.doc_id, coalesce(r3.category, r2.category) AS cat FROM h " +
+          "LEFT JOIN r r3 ON h.host = r3.pattern LEFT JOIN r r2 ON h.reg = r2.pattern) " +
+          "SELECT CASE WHEN cat IS NULL OR cat = 'allow' THEN 'allowed' ELSE cat END AS category, " +
+          "count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+          "FROM m GROUP BY 1 ORDER BY 1")),
+
+    // Context-window packing (concat-and-chunk, the GPT-style pretraining
+    // layout): within each layout bucket, docs concatenate in doc_id
+    // order and the token stream is cut every 512 tokens; docs may
+    // straddle a cut. Reported per bucket: sequences produced, docs
+    // crossing a sequence boundary (the attention-contamination metric),
+    // and tail waste (the only padding this layout ever pays). The
+    // running sum partitions BY BUCKET with an explicit ROWS frame (the
+    // q96 discipline) — bounded by layout, never a global cumsum.
+    Q("q112_context_packing",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("bucket", expr("substr(md5(cast(doc_id AS string)), 1, 1)"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        graft.pipeline.ShardPacker.packContext(d, "bucket", "doc_id", "n_tokens", 512L)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("total_tokens"),
+            (max(col("seq_last")) + 1).cast("long").as("n_seqs"),
+            sum(when(col("seq_last") > col("seq_first"), 1L).otherwise(0L))
+              .cast("long").as("n_crossing"),
+            ((max(col("seq_last")) + 1) * lit(512L) - sum(col("n_tokens")))
+              .cast("long").as("tail_waste"))
+          .orderBy(col("bucket"))
+      },
+      Some(
+        "WITH d AS (SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 1) AS bucket, " +
+          "len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), " +
+          "p AS (SELECT bucket, doc_id, n_tokens, sum(n_tokens) OVER " +
+          "(PARTITION BY bucket ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d), " +
+          "x AS (SELECT bucket, n_tokens, (cum - n_tokens) // 512 AS seq_first, " +
+          "CASE WHEN n_tokens > 0 THEN (cum - 1) // 512 ELSE (cum - n_tokens) // 512 END AS seq_last FROM p) " +
+          "SELECT bucket, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+          "CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs, " +
+          "CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing, " +
+          "CAST((max(seq_last) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste " +
+          "FROM x GROUP BY bucket ORDER BY bucket")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

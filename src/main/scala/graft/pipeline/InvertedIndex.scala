@@ -43,6 +43,56 @@ object InvertedIndex {
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  /** Positional token stream: one row per token occurrence — (`doc_id`,
+    * `pos`, `term`) with `pos` the 1-based index in the space-split token
+    * array. The phrase-query complement of [[postings]]: bag-of-words tf
+    * can't see adjacency; consecutive positions can. Empty tokens (double
+    * spaces) are dropped but their slots keep numbering, so positions are
+    * a pure function of the raw text that any engine reproduces.
+    */
+  def tokensPositional(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("off", "term")))
+      .filter(length(col("term")) > 0)
+      .withColumn("pos", (col("off") + 1).cast("long"))
+      .drop("off")
+
+  /** Top-k docs per PHRASE query — exact consecutive-token match, the
+    * retrieval mode bag-of-words BM25 structurally cannot answer ("batch
+    * batch" is not "two batch tokens anywhere"). `phrases` carries
+    * (`qid`, `off`, `term`) rows with `off` the 0-based offset inside the
+    * phrase; a phrase occurs at anchor position p iff token(p+off) ==
+    * term for EVERY offset. Score = occurrence count (overlapping
+    * occurrences count — both the standard convention and the relational
+    * one). Repeated terms inside one phrase are handled by counting
+    * DISTINCT offsets per anchor.
+    *
+    * Scale shape: the phrase table broadcasts into ONE positional-token
+    * scan — only tokens matching SOME phrase term survive the join — then
+    * two content-keyed hash aggregations ((qid, doc, anchor) offset
+    * completion; (qid, doc) occurrence count) and the sharded two-phase
+    * top-k. The corpus is scanned once, no self-join of the token stream,
+    * no window over it.
+    */
+  def phraseTopK(tokens: DataFrame, phrases: DataFrame, k: Int): DataFrame = {
+    val ph = phrases.select(col("qid").cast("long").as("qid"),
+      col("off").cast("long").as("off"), col("term"))
+    val plen = ph.groupBy(col("qid")).agg(count(lit(1)).cast("long").as("plen"))
+    val hits = tokens.join(broadcast(ph), Seq("term"))
+      .select(col("qid"), col("doc_id"),
+        (col("pos") - lit(1L) - col("off")).as("anchor"), col("off"))
+    val occ = hits
+      .groupBy(col("qid"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("nmatch"))
+      .join(broadcast(plen), Seq("qid"))
+      .filter(col("nmatch") === col("plen"))
+    val scored = occ.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("score"))
+    rankTopK(scored, k)
+  }
+
   // ---- committed index: LSM generations, manifest-gated reads -------------
   //
   // The postings table persisted the way this engine persists every other

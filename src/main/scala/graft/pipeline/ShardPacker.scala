@@ -37,4 +37,30 @@ object ShardPacker {
       .withColumn("shard", expr(s"(__cum - $tokensCol) div $shardTokens"))
       .drop("__cum")
   }
+
+  /** Context-window packing — the concat-and-chunk pretraining layout
+    * (GPT-style): within each bucket, documents are concatenated in
+    * `orderCol` order and the token stream is cut every `ctxTokens`
+    * tokens; documents may straddle a cut (no padding between docs, waste
+    * only in each bucket's final partial sequence). Adds `seq_first` /
+    * `seq_last`: the 0-based indexes of the sequences holding the doc's
+    * first and last token — `seq_last > seq_first` marks a
+    * boundary-crossing doc (the attention-contamination metric a packing
+    * report cares about). Distributed exactly like [[pack]]: the running
+    * sum partitions BY BUCKET with an explicit ROWS frame, bounded by
+    * layout, never a global cumulative sum.
+    */
+  def packContext(docs: DataFrame, bucketCol: String, orderCol: String,
+      tokensCol: String, ctxTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("seq_first", expr(s"(__cum - $tokensCol) div $ctxTokens"))
+      // a zero-token doc "occupies" no sequence: pin it to seq_first so it
+      // never reads as boundary-crossing
+      .withColumn("seq_last",
+        expr(s"CASE WHEN $tokensCol > 0 THEN (__cum - 1) div $ctxTokens " +
+          s"ELSE (__cum - $tokensCol) div $ctxTokens END"))
+      .drop("__cum")
+  }
 }

@@ -148,7 +148,28 @@ object PlanCheckMain {
       "q109_length_trim" -> ("cutoffs broadcast, no window/sort on corpus",
         p => { val f = p.split("== Initial Plan ==").head
           !f.contains("SortMergeJoin") && !f.contains("Window") &&
-            f.contains("BroadcastNestedLoopJoin") }))
+            f.contains("BroadcastNestedLoopJoin") }),
+      // round 5d: phrase terms broadcast into ONE positional-token scan;
+      // anchor/occurrence aggregations are content-keyed; ranking windows
+      // stay partitioned — no token-stream self-join, no corpus window
+      "q110_phrase_search" -> ("phrases broadcast, windows partitioned",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") &&
+            !f.contains("SortMergeJoin") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5d: the rule table broadcasts (LEFT outer keeps unmatched
+      // hosts); the verdict is ONE id-keyed max_by aggregation — no
+      // corpus-sized join back, no window, no sort
+      "q111_url_blocklist" -> ("rules broadcast, single corpus agg",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("SortMergeJoin") &&
+            !f.contains("Window") }),
+      // round 5d: the packing cumsum partitions BY BUCKET — a
+      // partition-less window would serialize the corpus through one task
+      "q112_context_packing" -> ("packing windows partitioned by bucket",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("Window") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

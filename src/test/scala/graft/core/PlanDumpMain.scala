@@ -80,6 +80,12 @@ object PlanDumpMain {
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
         "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q110_phrase_search" -> ("Phrase search: broadcast phrase terms, one positional scan, no self-join",
+        "The phrase table broadcasts into a single positional-token scan — only tokens matching some phrase term survive — then anchor completion and occurrence counting are two content-keyed hash aggregations and ranking is the sharded two-phase top-k. The classic alternative (token-stream self-join per adjacency) never appears: adjacency is recovered arithmetically (pos − off) from one pass."),
+      "q111_url_blocklist" -> ("Domain blocklist: broadcast rules, one id-keyed verdict aggregation",
+        "Host suffixes explode bounded by label depth (≤5), the rule join is a broadcast LEFT outer (unmatched hosts keep a null-category row at specificity −1), and the most-specific-wins verdict is one max_by hash aggregation on the id — a single corpus-keyed shuffle decides every host against the full blocklist."),
+      "q112_context_packing" -> ("Context packing: bucket-partitioned running sum, no global cumsum",
+        "The concat-and-chunk running sum partitions BY BUCKET with an explicit ROWS frame, so per-task window state is bounded by the layout bucket, never the corpus — the q96 packing discipline applied to fixed-context sequence layout; everything after the window is one hash aggregate per bucket."),
       "q109_length_trim" -> ("Percentile trim: count-per-length aggregation state, 1-row broadcast cutoffs",
         "EXACT percentiles stay scale-safe because the aggregation state is count-per-distinct-length (bounded by the longest doc, not the corpus); the two cutoffs then enter as a 1-row broadcast and the trim is a codegen'd filter — a distribution-relative gate for the cost of one scan plus a scalar aggregate."),
       "q108_bm25_fielded" -> ("Fielded BM25: per-field scoring, candidate-sized combine",

@@ -201,6 +201,38 @@ class InvertedIndexSpec extends AnyFunSuite {
     assert(ranks(1L) == 1L && ranks.contains(2L) && ranks.contains(5L))
   }
 
+  test("phrase search: exact adjacency only, overlapping occurrences count, repeated-term phrases work") {
+    val docs = df(Seq(
+      Row(1L, "a b c a b"),   // "a b" twice (positions 1 and 4)
+      Row(2L, "a a a"),       // "a a" twice OVERLAPPING; "a a a" once
+      Row(3L, "b a b a"),     // "a b" once (positions 2-3)
+      Row(4L, "a c b"),       // a and b present but NOT adjacent — no match
+      Row(5L, "ab ab"),       // no substring matching: term "ab" ≠ "a"/"b"
+      Row(6L, "a  b")),       // double space: positions 1 and 3 — NOT adjacent
+      ("doc_id", LongType), ("text", StringType))
+    val toks = InvertedIndex.tokensPositional(docs)
+    val ph = df(Seq(
+      Row(1L, 0L, "a"), Row(1L, 1L, "b"),
+      Row(2L, 0L, "a"), Row(2L, 1L, "a"),
+      Row(3L, 0L, "a"), Row(3L, 1L, "a"), Row(3L, 2L, "a")),
+      ("qid", LongType), ("off", LongType), ("term", StringType))
+    val out = InvertedIndex.phraseTopK(toks, ph, k = 5)
+      .select("qid", "rank", "doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, 1L, 1L, 2L),   // doc 1: two occurrences
+      (1L, 2L, 3L, 1L),   // doc 3: one
+      (2L, 1L, 2L, 2L),   // "a a" overlaps in "a a a"
+      (3L, 1L, 2L, 1L)))  // "a a a" once; docs 4/5/6 never match anything
+  }
+
+  test("positional tokens: empty slots keep numbering so adjacency is split-exact") {
+    val toks = InvertedIndex.tokensPositional(df(Seq(Row(9L, "x  y z")),
+      ("doc_id", LongType), ("text", StringType))).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("term"))).toSet
+    assert(toks == Set((1L, "x"), (3L, "y"), (4L, "z")))
+  }
+
   test("a query term absent from the corpus contributes nothing; unmatched query returns no rows") {
     val docs = df(Seq(Row(1L, "x y"), Row(2L, "y z")),
       ("doc_id", LongType), ("text", StringType))
