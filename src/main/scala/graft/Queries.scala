@@ -3029,7 +3029,142 @@ object Queries {
           "CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs, " +
           "CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing, " +
           "CAST((max(seq_last) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste " +
-          "FROM x GROUP BY bucket ORDER BY bucket")))
+          "FROM x GROUP BY bucket ORDER BY bucket")),
+
+    // Per-document keyword extraction by tf-idf — the corpus-exploration /
+    // topic-tagging primitive (what a quality team runs to see WHAT a
+    // cluster or domain is about). Integer idf surrogate
+    // ((N+1)·10⁶ div (df+1) — monotone in the real idf, so ranks are
+    // preserved) over decimal(38,0) so a 10¹²-doc corpus can't overflow;
+    // top-3 terms per doc through PER-DOC windows (partitioned by doc_id,
+    // never global); the ranked output is cut to a deterministic doc
+    // sample (doc_id % 97 = 0) purely to bound result size — df/N always
+    // come from the FULL corpus.
+    Q("q113_tfidf_keywords",
+      (s, dir) => {
+        val posts = graft.pipeline.InvertedIndex.postings(t(s, dir, "documents"))
+        val nd = posts.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
+        val dfT = posts.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        posts.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("idf_ppm",
+            expr("(cast(n_docs + 1 AS decimal(38,0)) * 1000000) div (df + 1L)"))
+          .withColumn("score", expr("cast(tf AS decimal(38,0)) * idf_ppm"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3 && pmod(col("doc_id"), lit(97)) === 0)
+          .select(col("doc_id"), col("rank"), col("term"),
+            col("score").cast("long").as("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(
+        "WITH p AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+          "WHERE len(term) > 0 GROUP BY 1, 2), " +
+          "nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM p), " +
+          "d AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1), " +
+          "sc AS (SELECT p.doc_id, p.term, " +
+          "p.tf::HUGEINT * (((n_docs + 1)::HUGEINT * 1000000) // (df + 1)) AS score " +
+          "FROM p JOIN d USING (term) CROSS JOIN nd), " +
+          "r AS (SELECT doc_id, term, score, " +
+          "row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc) " +
+          "SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, CAST(score AS BIGINT) AS score " +
+          "FROM r WHERE rank <= 3 AND doc_id % 97 = 0 ORDER BY doc_id, rank")),
+
+    // PMI collocations — the vocabulary/tokenizer-prep statistic (which
+    // adjacent word pairs co-occur far beyond chance; what multi-word-
+    // token and phrase-vocab decisions are made from). Linear PMI
+    // surrogate in integer ppm: c12·T² · 10⁶ div (c1·c2·B) — monotone in
+    // pointwise mutual information, bit-reproducible; products ride
+    // decimal(38,0)/HUGEINT. Adjacency from the positional token stream
+    // via PER-DOC lead() windows (pos+1 guards the double-space gap);
+    // min-support c12 ≥ 5; top-15 is orderBy+limit — Spark plans
+    // TakeOrderedAndProject (per-partition top-k + merge), never a full
+    // global sort.
+    Q("q114_pmi_collocations",
+      (s, dir) => {
+        val toks = graft.pipeline.InvertedIndex.tokensPositional(t(s, dir, "documents"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = toks
+          .withColumn("nxt", lead(col("term"), 1).over(w))
+          .withColumn("npos", lead(col("pos"), 1).over(w))
+          .filter(col("nxt").isNotNull && col("npos") === col("pos") + 1)
+        val uni = toks.groupBy(col("term")).agg(count(lit(1)).cast("long").as("c1"))
+        val tot = toks.agg(count(lit(1)).cast("long").as("t_tokens"))
+        val bi = big.groupBy(col("term"), col("nxt"))
+          .agg(count(lit(1)).cast("long").as("c12"))
+        val totB = big.agg(count(lit(1)).cast("long").as("t_bigrams"))
+        bi.filter(col("c12") >= 5)
+          .join(uni.select(col("term"), col("c1").as("cw1")), Seq("term"))
+          .join(uni.select(col("term").as("nxt"), col("c1").as("cw2")), Seq("nxt"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(totB))
+          .withColumn("pmi_ppm",
+            expr("(cast(c12 AS decimal(38,0)) * t_tokens * t_tokens * 1000000) " +
+              "div (cast(cw1 AS decimal(38,0)) * cw2 * t_bigrams)"))
+          .select(col("term").as("w1"), col("nxt").as("w2"), col("c12"),
+            col("pmi_ppm").cast("long").as("pmi_ppm"))
+          .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+          .limit(15)
+      },
+      Some(
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term, " +
+          "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), " +
+          "tk AS (SELECT * FROM tok WHERE len(term) > 0), " +
+          "bg AS (SELECT term, lead(term) OVER w AS nxt, pos, lead(pos) OVER w AS npos " +
+          "FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), " +
+          "big AS (SELECT term, nxt FROM bg WHERE nxt IS NOT NULL AND npos = pos + 1), " +
+          "uni AS (SELECT term, count(*)::BIGINT AS c1 FROM tk GROUP BY 1), " +
+          "tot AS (SELECT count(*)::BIGINT AS t_tokens FROM tk), " +
+          "bi AS (SELECT term, nxt, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2), " +
+          "totb AS (SELECT count(*)::BIGINT AS t_bigrams FROM big), " +
+          "sc AS (SELECT bi.term AS w1, bi.nxt AS w2, c12, " +
+          "(c12::HUGEINT * t_tokens * t_tokens * 1000000) // (u1.c1::HUGEINT * u2.c1 * t_bigrams) AS pmi " +
+          "FROM bi JOIN uni u1 ON bi.term = u1.term JOIN uni u2 ON bi.nxt = u2.term " +
+          "CROSS JOIN tot CROSS JOIN totb WHERE c12 >= 5) " +
+          "SELECT w1, w2, c12, CAST(pmi AS BIGINT) AS pmi_ppm FROM sc " +
+          "ORDER BY pmi DESC, w1, w2 LIMIT 15")),
+
+    // Crawler-trap detection — the frontier-hygiene operator (calendar
+    // pages, session ids, faceted search: infinite URL families one
+    // template deep). URLs are synthesized from doc_id in both dialects
+    // (the q72/q111 discipline): two hosts embed the unique doc_id in a
+    // calendar-shaped path (a trap — unbounded distinct URLs, one
+    // template), five healthy hosts serve a bounded page set. The
+    // template is the path with digit runs collapsed; a host is flagged
+    // when ONE template yields ≥ 50 distinct URLs. Scale shape: two hash
+    // aggregations (distinct-URL count per (host, template), then
+    // per-host max) — no window, no sort, no join.
+    Q("q115_crawler_traps",
+      (s, dir) => {
+        val did = col("doc_id")
+        val urls = t(s, dir, "documents").select(did,
+          concat(lit("h"), pmod(did, lit(7)).cast("string")).as("host"),
+          when(pmod(did, lit(7)) < 2,
+            concat(lit("/cal/"), did.cast("string"), lit("/day-"),
+              pmod(did, lit(31)).cast("string")))
+            .otherwise(concat(lit("/page/"), pmod(did, lit(20)).cast("string")))
+            .as("path"))
+        val perTpl = urls
+          .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+          .groupBy(col("host"), col("template"))
+          .agg(countDistinct(col("path")).cast("long").as("n_urls"))
+        perTpl.groupBy(col("host"))
+          .agg(count(lit(1)).cast("long").as("n_templates"),
+            sum(col("n_urls")).cast("long").as("n_distinct_urls"),
+            max(col("n_urls")).cast("long").as("max_template_urls"))
+          .withColumn("trap", col("max_template_urls") >= 50)
+          .orderBy(col("host"))
+      },
+      Some(
+        "WITH u AS (SELECT doc_id, 'h' || (doc_id % 7)::VARCHAR AS host, " +
+          "CASE WHEN doc_id % 7 < 2 THEN '/cal/' || doc_id::VARCHAR || '/day-' || (doc_id % 31)::VARCHAR " +
+          "ELSE '/page/' || (doc_id % 20)::VARCHAR END AS path FROM documents), " +
+          "pt AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g') AS template, " +
+          "count(DISTINCT path)::BIGINT AS n_urls FROM u GROUP BY 1, 2) " +
+          "SELECT host, count(*)::BIGINT AS n_templates, " +
+          "CAST(sum(n_urls) AS BIGINT) AS n_distinct_urls, " +
+          "CAST(max(n_urls) AS BIGINT) AS max_template_urls, " +
+          "max(n_urls) >= 50 AS trap FROM pt GROUP BY host ORDER BY host")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

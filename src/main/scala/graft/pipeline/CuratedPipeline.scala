@@ -558,6 +558,7 @@ object CuratedPipeline {
       honorNoindex: Boolean = true, clusterByCanonical: Boolean = true,
       gopherGate: Boolean = false, scrubPii: Boolean = false,
       templateStrip: Boolean = false, hostCap: Option[Int] = None,
+      blocklist: Option[DataFrame] = None,
       reliable: Boolean = false): (Seq[LineageRow], Seq[LineageRow]) = {
     val extractLineage = ExtractPipeline.run(spark, pages, s"$outDir/extract",
       numBuckets, snapshotGroups, runId)
@@ -576,17 +577,33 @@ object CuratedPipeline {
       // re-derived by the curate stage (and numBuckets may differ)
       .drop("part_bucket", "warc_day")
       .withColumn("id", xxhash64(col("url")))
+    // URL-level blocklist FIRST among the content gates (the RefinedWeb
+    // order: a blocklisted host's pages never reach template/scrub/dedup
+    // work at all — q111's operator as a pipeline stage). Verdicts are
+    // computed per DISTINCT HOST, so the suffix explode and the rule join
+    // run over a host-cardinality table; pages only pay one host-keyed
+    // join against the allowed set
+    val gatedHosted = blocklist match {
+      case None => gatedBase
+      case Some(rules) =>
+        val withHost = gatedBase.withColumn("__host", SkewTools.hostOf(col("url")))
+        val allowedHosts = UrlBlocklist.decisions(
+            withHost.select(col("__host")).distinct(), rules,
+            idCol = "__host", hostCol = "__host")
+          .filter(col("category") === "allowed").drop("category")
+        withHost.join(allowedHosts, Seq("__host")).drop("__host")
+    }
     // template strip BEFORE scrub/dedup: boilerplate must not feed band
     // keys (two pages of one host differing only in content would share
     // most template shingles), and the released text is the stripped text
     val gatedTemplated =
-      if (!templateStrip) gatedBase
+      if (!templateStrip) gatedHosted
       else {
         // pin the gated frame first: the strip consumes it four ways
         // (exploded paras, two distinct-count aggs, the join-back left
         // side) and without the pin each pass re-runs the extract scan +
         // gates (the cp() convention curateIncrement already follows)
-        val base = gatedBase.localCheckpoint(true)
+        val base = gatedHosted.localCheckpoint(true)
         val withHost = base.withColumn("__host", SkewTools.hostOf(col("url")))
         val stripped = TemplateStrip
           .strip(withHost, "__host", "id", "extracted_text")

@@ -169,7 +169,25 @@ object PlanCheckMain {
       "q112_context_packing" -> ("packing windows partitioned by bucket",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("Window") &&
-            !f.contains("Exchange SinglePartition\n   +- Window") }))
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5e: tf-idf ranks ride PER-DOC windows; the corpus-stats
+      // scalar is a 1-row broadcast; df joins on the term key
+      "q113_tfidf_keywords" -> ("per-doc windows, scalar stats broadcast",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5e: adjacency windows are per-doc; the top-15 must plan as
+      // TakeOrderedAndProject (per-partition top-k + merge), never a
+      // global Sort of the collocation table
+      "q114_pmi_collocations" -> ("per-doc windows, top-k not global sort",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("TakeOrderedAndProject") &&
+            !f.contains("Exchange SinglePartition\n   +- Window") }),
+      // round 5e: trap detection is two hash aggregations — no join, no
+      // window anywhere
+      "q115_crawler_traps" -> ("two hash aggs, join-free, window-free",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("Join") && !f.contains("Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

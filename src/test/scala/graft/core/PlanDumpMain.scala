@@ -80,6 +80,12 @@ object PlanDumpMain {
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
         "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q113_tfidf_keywords" -> ("tf-idf keywords: per-doc windows, corpus stats as a 1-row broadcast",
+        "Document-frequency joins on the term key (vocabulary-sized), the corpus-count scalar rides a 1-row broadcast, and top-3-per-doc is a window PARTITIONED BY doc_id — thousands of tiny independent ranks, never a global sort. The deterministic output sample (doc_id % 97) pushes below the window without changing any rank."),
+      "q114_pmi_collocations" -> ("PMI collocations: per-doc adjacency, top-k as TakeOrderedAndProject",
+        "Bigrams come from lead() inside per-doc windows, both count tables are content-keyed hash aggregations, and the final top-15 plans as TakeOrderedAndProject — each partition keeps its local 15, the driver merges — so the collocation table is never globally sorted. Products ride decimal(38,0): a 10¹²-token corpus can't overflow the ppm arithmetic."),
+      "q115_crawler_traps" -> ("Crawler traps: two hash aggregations, join-free",
+        "Template concentration is countDistinct(path) per (host, template) followed by a per-host max — two content-keyed hash aggregations and nothing else. At archive scale this is the cheapest possible shape for frontier hygiene: no window, no join, the URL table is scanned once."),
       "q110_phrase_search" -> ("Phrase search: broadcast phrase terms, one positional scan, no self-join",
         "The phrase table broadcasts into a single positional-token scan — only tokens matching some phrase term survive — then anchor completion and occurrence counting are two content-keyed hash aggregations and ranking is the sharded two-phase top-k. The classic alternative (token-stream self-join per adjacency) never appears: adjacency is recovered arithmetically (pos − off) from one pass."),
       "q111_url_blocklist" -> ("Domain blocklist: broadcast rules, one id-keyed verdict aggregation",

@@ -187,6 +187,42 @@ class CuratedPipelineSpec extends AnyFunSuite {
     assert(CuratedPipeline.readKept(spark, s"$outOff/curated").count() == 12L)
   }
 
+  test("blocklist gates hosts in the composed pipeline: blocked subtree out, allow exception kept, unlisted untouched") {
+    import spark.implicits._
+    def content(h: String, i: Int) =
+      s"${h}w$i ${h}unique$i ${h}words$i ${h}here$i ${h}now$i ${h}extra$i ${h}tail$i ${h}end$i"
+    val rows = (for ((h, n) <- Seq(("bad.example", 3), ("sub.bad.example", 2),
+        ("ok.bad.example", 2), ("good.example", 3)); i <- 1 to n)
+      yield Page(s"https://$h/p$i", ts("2024-03-01 10:00:00"),
+        Array.empty[Byte], content(h.replace(".", ""), i), "en")).toVector
+    val pages = spark.createDataset(rows)
+    val rules = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row("bad.example", "ads"),
+        org.apache.spark.sql.Row("ok.bad.example", "allow")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pattern",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("category",
+          org.apache.spark.sql.types.StringType))))
+
+    val out = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, out,
+      numBuckets = 4, snapshotGroups = 1, runId = "blk", blocklist = Some(rules))
+    val byHost = CuratedPipeline.readKept(spark, s"$out/curated")
+      .withColumn("h", SkewTools.hostOf($"url"))
+      .groupBy($"h").count().as[(String, Long)].collect().toMap
+    // bad.example and sub.bad.example are gone (rule covers the subtree);
+    // ok.bad.example survives via the allow exception; good.example whole
+    assert(byHost == Map("ok.bad.example" -> 2L, "good.example" -> 3L),
+      s"blocklist must drop the blocked subtree only, got $byHost")
+
+    // without the blocklist every distinct page survives
+    val outOff = tmpDir()
+    CuratedPipeline.runFromPages(spark, pages, outOff,
+      numBuckets = 4, snapshotGroups = 1, runId = "blk-off")
+    assert(CuratedPipeline.readKept(spark, s"$outOff/curated").count() == 10L)
+  }
+
   test("site-declared canonical groups collapse to one kept doc in the composed pipeline") {
     import spark.implicits._
     val n = 600L
