@@ -3164,7 +3164,149 @@ object Queries {
           "SELECT host, count(*)::BIGINT AS n_templates, " +
           "CAST(sum(n_urls) AS BIGINT) AS n_distinct_urls, " +
           "CAST(max(n_urls) AS BIGINT) AS max_template_urls, " +
-          "max(n_urls) >= 50 AS trap FROM pt GROUP BY host ORDER BY host")))
+          "max(n_urls) >= 50 AS trap FROM pt GROUP BY host ORDER BY host")),
+
+    // Classifier calibration (PR curve) — how a quality-filter threshold
+    // is actually CHOSEN: sweep every distinct score value as a cutoff
+    // and report cumulative precision/recall at each. Score = integer
+    // ppk stopword ratio (bounded cardinality 0..1000 — the signal q36
+    // uses for langid, so lang='en' is a meaningful positive class in
+    // this corpus); the cumulative window runs over the DISTINCT-SCORE
+    // aggregate (≤1001 rows — the q07 discipline: aggregate first, then
+    // the unavoidable ordered window touches aggregate rows only, never
+    // the corpus).
+    Q("q116_pr_curve",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("pad", concat(lit(" "), col("text"), lit(" ")))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("n_stop",
+            ((size(split(col("pad"), " the ")) - 1) +
+              (size(split(col("pad"), " a ")) - 1)).cast("long"))
+          .withColumn("s_ppk", expr("(n_stop * 1000L) div n_tokens"))
+          .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+        val perScore = d.groupBy(col("s_ppk"))
+          .agg(count(lit(1)).cast("long").as("n"),
+            sum(col("pos")).cast("long").as("n_pos"))
+        val totPos = d.agg(sum(col("pos")).cast("long").as("total_pos"))
+        val w = Window.orderBy(col("s_ppk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perScore
+          .withColumn("pred_pos", sum(col("n")).over(w))
+          .withColumn("tp", sum(col("n_pos")).over(w))
+          .crossJoin(broadcast(totPos))
+          .select(col("s_ppk").as("threshold"),
+            col("pred_pos").cast("long").as("pred_pos"),
+            col("tp").cast("long").as("tp"),
+            expr("(tp * 1000000L) div pred_pos").as("precision_ppm"),
+            expr("(tp * 1000000L) div total_pos").as("recall_ppm"))
+          .orderBy(col("threshold").desc)
+      },
+      Some(
+        "WITH d AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+          "((len(string_split(' ' || text || ' ', ' the ')) - 1) + " +
+          "(len(string_split(' ' || text || ' ', ' a ')) - 1))::BIGINT AS n_stop FROM documents), " +
+          "sc AS (SELECT (n_stop * 1000) // n_tokens AS s_ppk, " +
+          "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM d), " +
+          "ps AS (SELECT s_ppk, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos FROM sc GROUP BY 1), " +
+          "tot AS (SELECT sum(pos)::BIGINT AS total_pos FROM sc), " +
+          "cum AS (SELECT s_ppk, " +
+          "sum(n) OVER (ORDER BY s_ppk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_pos, " +
+          "sum(n_pos) OVER (ORDER BY s_ppk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp FROM ps) " +
+          "SELECT s_ppk AS threshold, CAST(pred_pos AS BIGINT) AS pred_pos, CAST(tp AS BIGINT) AS tp, " +
+          "CAST((tp * 1000000) // pred_pos AS BIGINT) AS precision_ppm, " +
+          "CAST((tp * 1000000) // total_pos AS BIGINT) AS recall_ppm " +
+          "FROM cum CROSS JOIN tot ORDER BY threshold DESC")),
+
+    // Corpus drift — the crawl-monitoring statistic: which terms shifted
+    // most between two slices (here source='src0' vs the rest — in
+    // production, dump N vs dump N+1)? Smoothed frequency-ratio surrogate
+    // in integer ppm ((fA+1)(NB+1)·10⁶ div (fB+1)(NA+1) — monotone in
+    // the log-odds drift, add-one smoothing handles side-absent terms),
+    // min support 20, top-10 each direction. Scale shape: two
+    // content-keyed term aggregations + one full-outer term join
+    // (vocabulary-sized); both direction cuts plan as
+    // TakeOrderedAndProject.
+    Q("q117_corpus_drift",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .filter(length(col("term")) > 0)
+          .withColumn("in_a", (col("source") === "src0").cast("long"))
+        val perTerm = toks.groupBy(col("term"))
+          .agg(sum(col("in_a")).cast("long").as("fa"),
+            sum(lit(1L) - col("in_a")).cast("long").as("fb"))
+        val tot = toks.agg(sum(col("in_a")).cast("long").as("na"),
+          sum(lit(1L) - col("in_a")).cast("long").as("nb"))
+        val scored = perTerm.filter(col("fa") + col("fb") >= 20)
+          .crossJoin(broadcast(tot))
+          .withColumn("ratio_ppm",
+            expr("((cast(fa AS decimal(38,0)) + 1) * (nb + 1) * 1000000) " +
+              "div ((cast(fb AS decimal(38,0)) + 1) * (na + 1))").cast("long"))
+        val aHeavy = scored.orderBy(col("ratio_ppm").desc, col("term")).limit(10)
+          .withColumn("direction", lit("a_heavy"))
+        val bHeavy = scored.orderBy(col("ratio_ppm").asc, col("term")).limit(10)
+          .withColumn("direction", lit("b_heavy"))
+        aHeavy.unionByName(bHeavy)
+          .select(col("direction"), col("term"), col("fa"), col("fb"), col("ratio_ppm"))
+          .orderBy(col("direction"), col("ratio_ppm").desc, col("term"))
+      },
+      Some(
+        "WITH tok AS (SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in_a, " +
+          "unnest(string_split(text, ' ')) AS term FROM documents), " +
+          "tk AS (SELECT * FROM tok WHERE len(term) > 0), " +
+          "pt AS (SELECT term, sum(in_a)::BIGINT AS fa, sum(1 - in_a)::BIGINT AS fb FROM tk GROUP BY 1), " +
+          "tot AS (SELECT sum(in_a)::BIGINT AS na, sum(1 - in_a)::BIGINT AS nb FROM tk), " +
+          "sc AS (SELECT term, fa, fb, " +
+          "CAST(((fa::HUGEINT + 1) * (nb + 1) * 1000000) // ((fb::HUGEINT + 1) * (na + 1)) AS BIGINT) AS ratio_ppm " +
+          "FROM pt CROSS JOIN tot WHERE fa + fb >= 20), " +
+          "ah AS (SELECT 'a_heavy' AS direction, term, fa, fb, ratio_ppm FROM sc " +
+          "ORDER BY ratio_ppm DESC, term LIMIT 10), " +
+          "bh AS (SELECT 'b_heavy' AS direction, term, fa, fb, ratio_ppm FROM sc " +
+          "ORDER BY ratio_ppm ASC, term LIMIT 10) " +
+          "SELECT * FROM (SELECT * FROM ah UNION ALL SELECT * FROM bh) " +
+          "ORDER BY direction, ratio_ppm DESC, term")),
+
+    // Vocabulary frequency spectrum — the Zipf/Heaps report tokenizer and
+    // vocab-size decisions are made from: bucket every term by
+    // floor(log2(frequency)) (integer-exact in both engines via
+    // length(bin(f)) − 1, no float log), then per bucket report the term
+    // count, total occurrences, and the CUMULATIVE share of corpus tokens
+    // covered by terms at least that frequent. The cumulative window runs
+    // over ≤64 bucket rows (aggregate-then-window, the q07/q116
+    // discipline); the only corpus-sized operation is the term-frequency
+    // aggregation itself.
+    Q("q118_freq_spectrum",
+      (s, dir) => {
+        val f = graft.pipeline.InvertedIndex.postings(t(s, dir, "documents"))
+          .groupBy(col("term")).agg(sum(col("tf")).cast("long").as("f"))
+        val buckets = f
+          .withColumn("log2_f", (length(expr("bin(f)")) - 1).cast("long"))
+          .groupBy(col("log2_f"))
+          .agg(count(lit(1)).cast("long").as("n_terms"),
+            sum(col("f")).cast("long").as("occurrences"))
+        val tot = buckets.agg(sum(col("occurrences")).cast("long").as("total_occ"))
+        val w = Window.orderBy(col("log2_f").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets
+          .withColumn("cum_occ", sum(col("occurrences")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("log2_f"), col("n_terms"), col("occurrences"),
+            expr("(cum_occ * 1000000L) div total_occ").as("coverage_ppm"))
+          .orderBy(col("log2_f").desc)
+      },
+      Some(
+        "WITH p AS (SELECT term, count(*)::BIGINT AS f FROM " +
+          "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) u " +
+          "WHERE len(term) > 0 GROUP BY 1), " +
+          "b AS (SELECT (length(bin(f)) - 1)::BIGINT AS log2_f, count(*)::BIGINT AS n_terms, " +
+          "sum(f)::BIGINT AS occurrences FROM p GROUP BY 1), " +
+          "tot AS (SELECT sum(occurrences)::BIGINT AS total_occ FROM b), " +
+          "c AS (SELECT log2_f, n_terms, occurrences, " +
+          "sum(occurrences) OVER (ORDER BY log2_f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ FROM b) " +
+          "SELECT log2_f, n_terms, occurrences, " +
+          "CAST((cum_occ * 1000000) // total_occ AS BIGINT) AS coverage_ppm " +
+          "FROM c CROSS JOIN tot ORDER BY log2_f DESC")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -187,7 +187,25 @@ object PlanCheckMain {
       // window anywhere
       "q115_crawler_traps" -> ("two hash aggs, join-free, window-free",
         p => { val f = p.split("== Initial Plan ==").head
-          !f.contains("Join") && !f.contains("Window") }))
+          !f.contains("Join") && !f.contains("Window") }),
+      // round 5f: the PR sweep aggregates the corpus to ≤1001 distinct-
+      // score rows BEFORE its ordered window (q07 discipline); the only
+      // joins are 1-row broadcasts
+      "q116_pr_curve" -> ("aggregate-then-window, scalar broadcast only",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("HashAggregate") && !f.contains("SortMergeJoin") &&
+            !f.contains("CartesianProduct") }),
+      // round 5f: drift is two term aggs + one vocab-keyed join; both
+      // direction cuts are TakeOrderedAndProject, and there is no window
+      "q117_corpus_drift" -> ("top-k cuts not global sorts, window-free",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("TakeOrderedAndProject") && !f.contains("Window") }),
+      // round 5f: spectrum = term-frequency agg → ≤64 bucket rows →
+      // window; scalar total rides a 1-row broadcast
+      "q118_freq_spectrum" -> ("aggregate-then-window, scalar broadcast only",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("HashAggregate") && !f.contains("SortMergeJoin") &&
+            !f.contains("CartesianProduct") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

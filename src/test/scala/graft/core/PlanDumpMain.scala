@@ -80,6 +80,12 @@ object PlanDumpMain {
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
         "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q116_pr_curve" -> ("PR sweep: corpus aggregates to distinct scores before the ordered window",
+        "The threshold sweep's cumulative window orders at most 1001 rows — one per distinct ppk score — because the corpus hash-aggregates FIRST (the q07 discipline). At 100 TB the curve costs one scan plus a bounded window; the total-positives scalar rides a 1-row broadcast."),
+      "q117_corpus_drift" -> ("Corpus drift: vocabulary-keyed join, both direction cuts TakeOrderedAndProject",
+        "Both slices aggregate term counts in one pass (the slice indicator is a projection, not a split), the ratio join is vocabulary-sized, and each direction's top-10 plans as TakeOrderedAndProject — per-partition top-k plus driver merge, never a global sort of the vocabulary."),
+      "q118_freq_spectrum" -> ("Frequency spectrum: integer log2 buckets, window over ≤64 rows",
+        "floor(log2(f)) via length(bin(f))−1 keeps the bucketing integer-exact across engines; the cumulative-coverage window runs over at most 64 bucket rows. The only corpus-sized operation is the term-frequency aggregation every vocabulary decision already pays."),
       "q113_tfidf_keywords" -> ("tf-idf keywords: per-doc windows, corpus stats as a 1-row broadcast",
         "Document-frequency joins on the term key (vocabulary-sized), the corpus-count scalar rides a 1-row broadcast, and top-3-per-doc is a window PARTITIONED BY doc_id — thousands of tiny independent ranks, never a global sort. The deterministic output sample (doc_id % 97) pushes below the window without changing any rank."),
       "q114_pmi_collocations" -> ("PMI collocations: per-doc adjacency, top-k as TakeOrderedAndProject",
