@@ -3306,7 +3306,96 @@ object Queries {
           "sum(occurrences) OVER (ORDER BY log2_f DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_occ FROM b) " +
           "SELECT log2_f, n_terms, occurrences, " +
           "CAST((cum_occ * 1000000) // total_occ AS BIGINT) AS coverage_ppm " +
-          "FROM c CROSS JOIN tot ORDER BY log2_f DESC")))
+          "FROM c CROSS JOIN tot ORDER BY log2_f DESC")),
+
+    // Curation funnel — the drop-attribution report every real pipeline
+    // publishes with a release (RefinedWeb/FineWeb datasheets): every doc
+    // attributed to the FIRST gate that removed it, in pipeline order —
+    // URL blocklist → percentile length trim → stopword quality → exact
+    // dedup — with dedup running only among gate SURVIVORS (the actual
+    // execution order: dedup never sees blocked docs). Composes q111's
+    // blocklist (verdicts per DISTINCT host), q109's percentile cutoffs
+    // (1-row broadcast), q116's integer ppk quality score, and q30's
+    // md5 first-occurrence dedup over the planted-duplicate corpus, in
+    // ONE relational funnel both engines evaluate end-to-end.
+    Q("q119_curation_funnel",
+      (s, dir) => {
+        val did = col("doc_id")
+        val base = dupCorpus(s, dir)
+          .withColumn("host", concat(
+            when(pmod(did, lit(3)) === 0, lit("ads."))
+              .when(pmod(did, lit(3)) === 1, lit("ok."))
+              .otherwise(lit("")),
+            lit("dom"), pmod(did, lit(11)).cast("string"),
+            when(pmod(did, lit(2)) === 0, lit(".com")).otherwise(lit(".org"))))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("pad", concat(lit(" "), col("text"), lit(" ")))
+          .withColumn("s_ppk", expr(
+            "(cast((size(split(pad, ' the ')) - 1) + (size(split(pad, ' a ')) - 1) AS bigint) " +
+              "* 1000) div n_tokens"))
+        val rules = s.createDataFrame(java.util.Arrays.asList(
+            org.apache.spark.sql.Row("dom3.com", "ads"),
+            org.apache.spark.sql.Row("dom5.org", "adult"),
+            org.apache.spark.sql.Row("ads.dom7.com", "tracker"),
+            org.apache.spark.sql.Row("ok.dom3.com", "allow")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pattern", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("category", org.apache.spark.sql.types.StringType))))
+        val verdicts = graft.pipeline.UrlBlocklist.decisions(
+          base.select(col("host")).distinct(), rules, idCol = "host", hostCol = "host")
+        val cuts = base.agg(
+          expr("percentile(n_tokens, 0.10D)").as("p10"),
+          expr("percentile(n_tokens, 0.99D)").as("p99"))
+        // the verdict table is distinct-host cardinality (66 synthesized
+        // hosts here; bounded by the rule list's coverage in production)
+        val staged = base.join(broadcast(verdicts), Seq("host"))
+          .crossJoin(broadcast(cuts))
+          .withColumn("blocked", col("category") =!= "allowed")
+          .withColumn("len_ok",
+            col("n_tokens") >= col("p10") && col("n_tokens") <= col("p99"))
+          .withColumn("qual_ok", col("s_ppk") >= 10)
+        val surv = staged.filter(!col("blocked") && col("len_ok") && col("qual_ok"))
+          .withColumn("h", md5(col("text").cast("binary")))
+        val first = surv.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
+        val dupIds = surv.join(first, Seq("h"))
+          .filter(col("doc_id") =!= col("first_id"))
+          .select(col("doc_id"), lit(true).as("is_dup"))
+        staged.join(dupIds, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(col("blocked"), "1_blocked_host")
+              .when(!col("len_ok"), "2_length")
+              .when(!col("qual_ok"), "3_quality")
+              .when(col("is_dup"), "4_duplicate")
+              .otherwise("kept"))
+          .groupBy(col("stage"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("stage"))
+      },
+      Some(
+        "WITH b AS (SELECT doc_id, text, " +
+          "(CASE doc_id % 3 WHEN 0 THEN 'ads.' WHEN 1 THEN 'ok.' ELSE '' END) || " +
+          "'dom' || (doc_id % 11)::VARCHAR || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS host, " +
+          "'dom' || (doc_id % 11)::VARCHAR || (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) AS reg, " +
+          "len(string_split(text, ' '))::BIGINT AS n_tokens, " +
+          "(((len(string_split(' ' || text || ' ', ' the ')) - 1) + " +
+          "(len(string_split(' ' || text || ' ', ' a ')) - 1)) * 1000) // len(string_split(text, ' ')) AS s_ppk " +
+          "FROM " + dupCorpusSql + "), " +
+          "r(pattern, category) AS (VALUES ('dom3.com', 'ads'), ('dom5.org', 'adult'), " +
+          "('ads.dom7.com', 'tracker'), ('ok.dom3.com', 'allow')), " +
+          "v AS (SELECT b.*, coalesce(r3.category, r2.category) AS cat FROM b " +
+          "LEFT JOIN r r3 ON b.host = r3.pattern LEFT JOIN r r2 ON b.reg = r2.pattern), " +
+          "c AS (SELECT quantile_cont(n_tokens, 0.10) AS p10, quantile_cont(n_tokens, 0.99) AS p99 FROM b), " +
+          "st AS (SELECT v.*, (cat IS NOT NULL AND cat <> 'allow') AS blocked, " +
+          "(n_tokens >= p10 AND n_tokens <= p99) AS len_ok, s_ppk >= 10 AS qual_ok FROM v CROSS JOIN c), " +
+          "surv AS (SELECT doc_id, md5(text) AS h FROM st WHERE NOT blocked AND len_ok AND qual_ok), " +
+          "f AS (SELECT h, min(doc_id) AS first_id FROM surv GROUP BY 1), " +
+          "dup AS (SELECT surv.doc_id FROM surv JOIN f USING (h) WHERE surv.doc_id <> f.first_id) " +
+          "SELECT CASE WHEN blocked THEN '1_blocked_host' WHEN NOT len_ok THEN '2_length' " +
+          "WHEN NOT qual_ok THEN '3_quality' " +
+          "WHEN doc_id IN (SELECT doc_id FROM dup) THEN '4_duplicate' ELSE 'kept' END AS stage, " +
+          "count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+          "FROM st GROUP BY 1 ORDER BY 1")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -205,7 +205,13 @@ object PlanCheckMain {
       "q118_freq_spectrum" -> ("aggregate-then-window, scalar broadcast only",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("HashAggregate") && !f.contains("SortMergeJoin") &&
-            !f.contains("CartesianProduct") }))
+            !f.contains("CartesianProduct") }),
+      // round 5f: the funnel's verdict and cutoff tables broadcast; the
+      // only corpus-keyed join is the dedup attribution itself; no window
+      "q119_curation_funnel" -> ("verdicts/cutoffs broadcast, no window",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") &&
+            !f.contains("Window") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

@@ -80,6 +80,8 @@ object PlanDumpMain {
         "Digest transitions come from lag() inside windows PARTITIONED by (host, url) — capture histories are tiny per url and never converge on one task — then one hash aggregate per url derives span/age/priority. The operator reads the capture INDEX only; at archive scale page bodies never enter the plan."),
       "q107_host_cap" -> ("Per-host cap: WindowGroupLimit pre-prunes before the shuffle",
         "The constant rank filter (rn <= 5) plans as WindowGroupLimit on BOTH sides of the exchange: each task keeps its local top-5 per host before any row moves, so the shuffle carries O(tasks × cap) rows per host no matter how large the host is — the property that makes a per-domain cap safe against boilerplate farms."),
+      "q119_curation_funnel" -> ("Curation funnel: broadcast gates, one content-keyed dedup join",
+        "Four gates in pipeline order share one corpus scan: blocklist verdicts join on the host key from a broadcast (distinct-host cardinality), percentile cutoffs ride a 1-row broadcast, quality is a codegen'd projection, and the only corpus-keyed shuffle is the md5 first-occurrence dedup among gate survivors — the report a release datasheet publishes, for the cost of the dedup the pipeline already runs."),
       "q116_pr_curve" -> ("PR sweep: corpus aggregates to distinct scores before the ordered window",
         "The threshold sweep's cumulative window orders at most 1001 rows — one per distinct ppk score — because the corpus hash-aggregates FIRST (the q07 discipline). At 100 TB the curve costs one scan plus a bounded window; the total-positives scalar rides a 1-row broadcast."),
       "q117_corpus_drift" -> ("Corpus drift: vocabulary-keyed join, both direction cuts TakeOrderedAndProject",
