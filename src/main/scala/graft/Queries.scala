@@ -719,7 +719,12 @@ object Queries {
     * the Spark side. Clusters that lose all members simply vanish from the
     * next round's centroid table in both engines.
     */
-  private def ivfOracleSql(c: Int, k: Int, nProbe: Int): String = {
+  /** The 2-Lloyd-step trainer + final assignment unrolled as CTEs over the
+    * long-form (vec_id, i, v) representation: WITH e, c0, a1/c1, a2/c2, d3,
+    * lists — shared by the q48 IVF probe oracle and the q120 SemDeDup
+    * oracle (both consume `lists` = (vec_id, cluster) and `e`/`d3`).
+    */
+  private def lloydListsCte(c: Int): String = {
     def assignStep(dName: String, aName: String, cents: String): String =
       s"$dName AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
         s"FROM e JOIN $cents c ON e.i=c.i GROUP BY 1,2), " +
@@ -737,7 +742,11 @@ object Queries {
       "d3 AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
       "FROM e JOIN c2 c ON e.i=c.i GROUP BY 1,2), " +
       "lists AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3) WHERE rn=1), " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3) WHERE rn=1)"
+  }
+
+  private def ivfOracleSql(c: Int, k: Int, nProbe: Int): String = {
+    lloydListsCte(c) + ", " +
       "probes AS (SELECT vec_id AS query_id, cluster FROM (SELECT vec_id, cluster, " +
       "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS prk FROM d3 WHERE vec_id < 5) " +
       s"WHERE prk <= $nProbe), " +
@@ -3395,7 +3404,186 @@ object Queries {
           "WHEN NOT qual_ok THEN '3_quality' " +
           "WHEN doc_id IN (SELECT doc_id FROM dup) THEN '4_duplicate' ELSE 'kept' END AS stage, " +
           "count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum " +
-          "FROM st GROUP BY 1 ORDER BY 1")))
+          "FROM st GROUP BY 1 ORDER BY 1")),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means-cluster the embedding space, then pairwise cosine ONLY
+    // within each cluster, dropping the larger id of every pair above τ.
+    // Composes the q48 deterministic Lloyd trainer (seed = first 16
+    // vectors, exactly 2 steps) so the ORACLE can unroll the whole thing:
+    // same lists CTE as IVF, then intra-cluster pairs. The scale story is
+    // the cluster partition: candidates are bounded per-list (at 100 TB,
+    // k grows with the corpus so lists stay ~constant-size — pairwise work
+    // is O(n·listsize), never all-pairs), and the pair join shuffles on
+    // the cluster id. τ=0.38 fits the synthetic embeddings (intra-cluster
+    // max cos ≈ 0.43); production runs the identical plan at τ≈0.95.
+    Q("q120_semdedup",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val centroids = graft.pipeline.Ivf.train(e, c = 16, iters = 2)
+        val vecs = e.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+        val lists = graft.pipeline.Ivf.assign(vecs, centroids)
+        val a = lists.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"))
+        val b = lists.select(col("cluster"), col("vec_id").as("idb"), col("v").as("vb"))
+        val pairs = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (acc,z) -> acc + z)") /
+              (expr("sqrt(aggregate(va, 0D, (acc,x) -> acc + x*x))") *
+                expr("sqrt(aggregate(vb, 0D, (acc,x) -> acc + x*x))")), 6))
+        pairs.agg(
+          count(lit(1)).as("n_intra_pairs"),
+          sum(when(col("cos") >= 0.38, 1).otherwise(0)).cast("long").as("n_semdup_pairs"),
+          countDistinct(when(col("cos") >= 0.38, col("idb"))).as("n_dropped"),
+          round(avg(when(col("cos") >= 0.38, col("cos"))), 4).as("avg_dup_cos"))
+      },
+      Some(lloydListsCte(16) + ", " +
+        "pairs AS (SELECT la.cluster, la.vec_id AS ida, lb.vec_id AS idb " +
+        "FROM lists la JOIN lists lb ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id), " +
+        "cosd AS (SELECT p.ida, p.idb, " +
+        "round(sum(a.v*b.v)/(sqrt(sum(a.v*a.v))*sqrt(sum(b.v*b.v))), 6) AS cos " +
+        "FROM pairs p JOIN e a ON a.vec_id = p.ida " +
+        "JOIN e b ON b.vec_id = p.idb AND b.i = a.i GROUP BY 1,2) " +
+        "SELECT count(*) AS n_intra_pairs, " +
+        "CAST(sum(CASE WHEN cos >= 0.38 THEN 1 ELSE 0 END) AS BIGINT) AS n_semdup_pairs, " +
+        "count(DISTINCT CASE WHEN cos >= 0.38 THEN idb END) AS n_dropped, " +
+        "round(avg(CASE WHEN cos >= 0.38 THEN cos END), 4) AS avg_dup_cos FROM cosd")),
+
+    // DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    // importance resampling by hashed n-gram features — every word hashes
+    // into one of 256 feature buckets, per-bucket rates are estimated on a
+    // TARGET slice (lang='en' — standing in for the high-quality target
+    // corpus) and on the RAW pool, and each document scores the sum over
+    // its tokens of the target-vs-raw rate difference; top-N by score is
+    // the selected training set. Deviation from the paper, for cross-engine
+    // determinism: add-1-smoothed INTEGER ppm rate difference instead of a
+    // float log-likelihood ratio (same argsort on this corpus, zero float
+    // drift — the q76/q80 discipline). Scale: both rate tables are exactly
+    // 256 rows (broadcast), the corpus is scored in one pass, and the
+    // top-20 is TakeOrderedAndProject — no window, no global sort.
+    Q("q121_dsir_select",
+      (s, dir) => {
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .withColumn("bkt", expr("cast(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT) % 256"))
+        val tcnt = g.filter(col("lang") === "en")
+          .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+        val rcnt = g.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+        val ttot = tcnt.agg(sum(col("tc")).as("tt"))
+        val rtot = rcnt.agg(sum(col("rc")).as("rt"))
+        val lr = rcnt.join(tcnt, Seq("bkt"), "left")
+          .crossJoin(broadcast(ttot)).crossJoin(broadcast(rtot))
+          .select(col("bkt"),
+            (expr("((coalesce(tc, 0L) + 1L) * 1000000L) div (tt + 256L)") -
+              expr("((rc + 1L) * 1000000L) div (rt + 256L)")).as("w_ppm"))
+        g.join(broadcast(lr), Seq("bkt"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("lang")).as("lang"), sum(col("w_ppm")).cast("long").as("weight"))
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(
+        "WITH g AS (SELECT doc_id, lang, w FROM " +
+          "(SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents) WHERE len(w) > 0), " +
+          "b AS (SELECT doc_id, lang, ('0x' || substr(md5(w),1,6))::BIGINT % 256 AS bkt FROM g), " +
+          "tcnt AS (SELECT bkt, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY 1), " +
+          "rcnt AS (SELECT bkt, count(*) AS rc FROM b GROUP BY 1), " +
+          "ttot AS (SELECT sum(tc) AS tt FROM tcnt), rtot AS (SELECT sum(rc) AS rt FROM rcnt), " +
+          "lr AS (SELECT r.bkt, " +
+          "((coalesce(t.tc, 0) + 1) * 1000000) // ((SELECT tt FROM ttot) + 256) - " +
+          "((r.rc + 1) * 1000000) // ((SELECT rt FROM rtot) + 256) AS w_ppm " +
+          "FROM rcnt r LEFT JOIN tcnt t ON r.bkt = t.bkt) " +
+          "SELECT b.doc_id, max(b.lang) AS lang, CAST(sum(lr.w_ppm) AS BIGINT) AS weight " +
+          "FROM b JOIN lr ON b.bkt = lr.bkt GROUP BY b.doc_id " +
+          "ORDER BY weight DESC, doc_id LIMIT 20")),
+
+    // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005): the
+    // fixed-size scale path for the q118 frequency spectrum — d=3 hash
+    // rows × w=16 counters, counters = one map-side-combinable groupBy of
+    // (row, bucket) (the sketch is 48 cells REGARDLESS of corpus size and
+    // merges by cell-wise addition across partitions/shards), estimate =
+    // min over rows of the probed cell, always ≥ the true count. w=16 is
+    // deliberately smaller than this corpus's 31-token vocabulary so
+    // collisions are REAL here (18/31 tokens overcount, 0 undercount);
+    // production sizes w ≈ e/ε for error ε·N. The oracle replays the
+    // identical deterministic salted-md5 hash plan; truth join verifies
+    // the one-sided error on every top token.
+    Q("q122_countmin_hh",
+      (s, dir) => {
+        def bkt(r: Int) =
+          s"cast(conv(substr(md5(concat(tok, '#cm$r')), 1, 8), 16, 10) AS BIGINT) % 16"
+        val tok = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val hashed = tok.selectExpr(
+          s"stack(3, 0L, ${bkt(0)}, 1L, ${bkt(1)}, 2L, ${bkt(2)}) AS (r, bkt)")
+        val counters = hashed.groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
+        val truec = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        val probes = truec.selectExpr("tok", "true_cnt",
+          s"stack(3, 0L, ${bkt(0)}, 1L, ${bkt(1)}, 2L, ${bkt(2)}) AS (r, bkt)")
+        probes.join(broadcast(counters), Seq("r", "bkt"))
+          .groupBy(col("tok"))
+          .agg(max(col("true_cnt")).as("true_cnt"), min(col("c")).as("cm_est"))
+          .withColumn("overcount", col("cm_est") - col("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok"))
+          .limit(15)
+          .select(col("tok").as("token"), col("true_cnt"), col("cm_est"), col("overcount"))
+      },
+      Some(
+        "WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) WHERE len(w) > 0), " +
+          "h AS (SELECT w, r, ('0x' || substr(md5(w || '#cm' || r::VARCHAR),1,8))::BIGINT % 16 AS bkt " +
+          "FROM tok, generate_series(0,2) AS t(r)), " +
+          "counters AS (SELECT r, bkt, count(*) AS c FROM h GROUP BY 1,2), " +
+          "truec AS (SELECT w, count(*) AS true_cnt FROM tok GROUP BY 1), " +
+          "probes AS (SELECT t.w, t.true_cnt, s.r, " +
+          "('0x' || substr(md5(t.w || '#cm' || s.r::VARCHAR),1,8))::BIGINT % 16 AS bkt " +
+          "FROM truec t, generate_series(0,2) AS s(r)), " +
+          "est AS (SELECT p.w, max(p.true_cnt) AS true_cnt, min(c.c) AS cm_est " +
+          "FROM probes p JOIN counters c ON c.r = p.r AND c.bkt = p.bkt GROUP BY p.w) " +
+          "SELECT w AS token, true_cnt, cm_est, cm_est - true_cnt AS overcount " +
+          "FROM est ORDER BY true_cnt DESC, token LIMIT 15")),
+
+    // HyperLogLog distinct count (Flajolet et al. 2007) — the third
+    // mergeable sketch beside the Bloom seen-set and the q122 CM sketch,
+    // and the cardinality answer at 100 TB (a groupBy-distinct of a
+    // trillion keys shuffles the corpus; 64 registers merge by cell-wise
+    // MAX across partitions/shards — the same shape Spark's own
+    // approx_count_distinct uses, re-derived here with a DETERMINISTIC
+    // md5-based hash so DuckDB replays it bit-for-bit). j = top 6 hash
+    // bits, rho = leading-zero rank of the remaining 26 (integer-exact via
+    // length(bin(x))), estimate = α·m²/Σ2^(−M_j). Every 2^(−M_j) is an
+    // exact binary fraction and their sum stays < 2^53 ulp-exact, so the
+    // one float division rounds identically in both engines (verified
+    // against a pure-IEEE replication). No small-range path here (zero
+    // empty registers at every SF), so no ln() enters the plan.
+    Q("q123_hll_distinct",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val reg = li.select(expr(
+            "cast(conv(substr(md5(concat(cast(l_orderkey AS string), '#hll')), 1, 8), 16, 10) AS BIGINT)").as("hv"))
+          .select(expr("hv div 67108864").as("j"),
+            expr("CASE WHEN hv % 67108864 = 0 THEN 27 " +
+              "ELSE 27 - length(bin(hv % 67108864)) END").as("rho"))
+        val st = reg.groupBy(col("j")).agg(max(col("rho")).as("mj"))
+          .agg(count(lit(1)).as("n_present"),
+            sum(expr("cast(1 AS DOUBLE) / shiftleft(1L, cast(mj AS INT))")).as("ssum"))
+        val truth = li.agg(countDistinct(col("l_orderkey")).as("true_distinct"))
+        st.crossJoin(broadcast(truth)).select(
+          lit(64L).as("n_registers"),
+          (lit(64L) - col("n_present")).cast("long").as("n_zero_registers"),
+          col("true_distinct"),
+          round(lit(0.709) * 4096 / (col("ssum") + (lit(64L) - col("n_present"))), 4).as("hll_est"))
+      },
+      Some(
+        "WITH h AS (SELECT ('0x' || substr(md5(l_orderkey::VARCHAR || '#hll'),1,8))::BIGINT AS hv FROM lineitem), " +
+          "reg AS (SELECT hv // 67108864 AS j, CASE WHEN hv % 67108864 = 0 THEN 27 " +
+          "ELSE 27 - length(bin(hv % 67108864)) END AS rho FROM h), " +
+          "m AS (SELECT j, max(rho) AS mj FROM reg GROUP BY 1), " +
+          "s AS (SELECT count(*) AS n_present, sum(1::DOUBLE / (1::BIGINT << mj)) AS ssum FROM m) " +
+          "SELECT 64::BIGINT AS n_registers, (64 - n_present)::BIGINT AS n_zero_registers, " +
+          "(SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS true_distinct, " +
+          "round(0.709::DOUBLE * 4096 / (ssum + (64 - n_present)), 4) AS hll_est FROM s")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

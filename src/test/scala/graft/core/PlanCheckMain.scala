@@ -211,7 +211,32 @@ object PlanCheckMain {
       "q119_curation_funnel" -> ("verdicts/cutoffs broadcast, no window",
         p => { val f = p.split("== Initial Plan ==").head
           f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") &&
-            !f.contains("Window") }))
+            !f.contains("Window") }),
+      // round 5g: SemDeDup's candidate discipline — centroid assignment is
+      // a C-row broadcast, pairs join on the CLUSTER key; never all-pairs,
+      // never a window
+      "q120_semdedup" -> ("cluster-keyed pairs, no cartesian, window-free",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("CartesianProduct") && !f.contains("Window") }),
+      // round 5g: both DSIR rate tables are exactly 256 rows — the score
+      // join must broadcast, and the top-20 must be a distributed top-N
+      "q121_dsir_select" -> ("rate tables broadcast, top-k not global sort",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && f.contains("TakeOrderedAndProject") &&
+            !f.contains("SortMergeJoin") }),
+      // round 5g: the CM sketch is 48 cells — its probe join must
+      // broadcast; the heavy-hitter cut is a distributed top-N; no window
+      "q122_countmin_hh" -> ("sketch broadcast, top-k not global sort",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && f.contains("TakeOrderedAndProject") &&
+            !f.contains("Window") }),
+      // round 5g: HLL = two hash aggs (register max, then the 1-row fold)
+      // + a 1-row broadcast for the truth column — no window, no SMJ, no
+      // key-shuffled join anywhere
+      "q123_hll_distinct" -> ("two aggs + 1-row broadcast, window-free",
+        p => { val f = p.split("== Initial Plan ==").head
+          !f.contains("SortMergeJoin") && !f.contains("Window") &&
+            !f.contains("CartesianProduct") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)
