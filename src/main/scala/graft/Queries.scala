@@ -3423,7 +3423,11 @@ object Queries {
         val centroids = graft.pipeline.Ivf.train(e, c = 16, iters = 2)
         val vecs = e.select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-        val lists = graft.pipeline.Ivf.assign(vecs, centroids)
+        // pin the assignment: the pair self-join reads `lists` on BOTH
+        // sides — without the checkpoint each side re-runs the full
+        // scan + centroid-distance pipeline (2× the assignment cost; at
+        // corpus scale a persisted list table, as q102 persists its index)
+        val lists = graft.pipeline.Ivf.assign(vecs, centroids).localCheckpoint(true)
         val a = lists.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"))
         val b = lists.select(col("cluster"), col("vec_id").as("idb"), col("v").as("vb"))
         val pairs = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))

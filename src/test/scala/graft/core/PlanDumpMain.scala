@@ -103,7 +103,15 @@ object PlanDumpMain {
       "q109_length_trim" -> ("Percentile trim: count-per-length aggregation state, 1-row broadcast cutoffs",
         "EXACT percentiles stay scale-safe because the aggregation state is count-per-distinct-length (bounded by the longest doc, not the corpus); the two cutoffs then enter as a 1-row broadcast and the trim is a codegen'd filter — a distribution-relative gate for the cost of one scan plus a scalar aggregate."),
       "q108_bm25_fielded" -> ("Fielded BM25: per-field scoring, candidate-sized combine",
-        "Each field runs q99's scoring shape (terms and df broadcast into its postings scan, per-(qid, doc) partial aggregation); the cross-field combine is a (qid, doc)-keyed full-outer join over CANDIDATE sets — thousands of rows, not the corpus — and ranking stays the two-phase sharded top-k. Anchor evidence joins body evidence without ever re-scanning either index."))
+        "Each field runs q99's scoring shape (terms and df broadcast into its postings scan, per-(qid, doc) partial aggregation); the cross-field combine is a (qid, doc)-keyed full-outer join over CANDIDATE sets — thousands of rows, not the corpus — and ranking stays the two-phase sharded top-k. Anchor evidence joins body evidence without ever re-scanning either index."),
+      "q120_semdedup" -> ("SemDeDup: centroids broadcast, pairs keyed on the cluster id",
+        "The Lloyd trainer's centroid table is C rows and broadcasts into the assignment scan; candidate pairs come from a self-join ON THE CLUSTER KEY, so pairwise cosine work is O(n · list-size), never all-pairs — at 100 TB k grows with the corpus to hold lists ~constant, and the pair join's one exchange is hashpartitioning(cluster). The drop decision is a plain aggregate over the scored pairs."),
+      "q121_dsir_select" -> ("DSIR selection: 256-row rate tables broadcast, one scoring pass",
+        "Both hashed-n-gram rate tables are exactly 256 rows by construction, so the per-token score join is a BroadcastHashJoin into the exploded corpus stream; per-doc importance weights partial-aggregate before their single shuffle and the top-N selection is TakeOrderedAndProject — the corpus is scored for resampling in one scan with no global sort."),
+      "q122_countmin_hh" -> ("Count-Min sketch: 48-cell counters, map-side-combined and broadcast back",
+        "The sketch build is one (row, bucket) hash aggregation whose state is 48 cells regardless of corpus size (cells merge by addition across partitions/shards — the mergeable-sketch property); the estimate probe joins those 48 rows back as a broadcast. The only corpus-sized operation is the token scan the true-count verification shares."),
+      "q123_hll_distinct" -> ("HyperLogLog: register max-agg, 1-row fold, no corpus shuffle on the key",
+        "Registers are a 64-group max aggregation — map-side combine reduces every partition to ≤64 cells before the one tiny exchange (registers merge by cell-wise MAX, the same shape approx_count_distinct uses) — and the estimate folds them in a second 1-row aggregate. The exact-distinct control beside it is the shape this replaces: a corpus-wide shuffle on the key."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
