@@ -724,26 +724,33 @@ object Queries {
     * lists — shared by the q48 IVF probe oracle and the q120 SemDeDup
     * oracle (both consume `lists` = (vec_id, cluster) and `e`/`d3`).
     */
-  private def lloydListsCte(c: Int): String = {
+  /** One prefixed trainer chain reading long-form vectors from `eTab`:
+    * emits `<p>c0, <p>d1, <p>a1, <p>c1, <p>d2s, <p>a2, <p>c2, <p>d3,
+    * <p>lists` — prefixing lets q124 run TWO independent subquantizer
+    * trainings (one per PQ subspace) inside a single WITH clause.
+    */
+  private def lloydChain(p: String, c: Int, eTab: String): String = {
     def assignStep(dName: String, aName: String, cents: String): String =
       s"$dName AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
-        s"FROM e JOIN $cents c ON e.i=c.i GROUP BY 1,2), " +
+        s"FROM $eTab e JOIN $cents c ON e.i=c.i GROUP BY 1,2), " +
         s"$aName AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM $dName) WHERE rn=1)"
     def meanStep(cName: String, assigned: String): String =
       s"$cName AS (SELECT a.cluster, e.i, avg(e.v) AS cv " +
-        s"FROM $assigned a JOIN e ON e.vec_id=a.vec_id GROUP BY 1,2)"
-    "WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, " +
-      "unnest(embedding)::DOUBLE AS v FROM embeddings), " +
-      s"c0 AS (SELECT vec_id::INT AS cluster, i, v AS cv FROM e WHERE vec_id < $c), " +
-      assignStep("d1", "a1", "c0") + ", " + meanStep("c1", "a1") + ", " +
-      assignStep("d2s", "a2", "c1") + ", " + meanStep("c2", "a2") + ", " +
+        s"FROM $assigned a JOIN $eTab e ON e.vec_id=a.vec_id GROUP BY 1,2)"
+    s"${p}c0 AS (SELECT vec_id::INT AS cluster, i, v AS cv FROM $eTab WHERE vec_id < $c), " +
+      assignStep(s"${p}d1", s"${p}a1", s"${p}c0") + ", " + meanStep(s"${p}c1", s"${p}a1") + ", " +
+      assignStep(s"${p}d2s", s"${p}a2", s"${p}c1") + ", " + meanStep(s"${p}c2", s"${p}a2") + ", " +
       // final assignment doubles as inverted lists AND probe distances
-      "d3 AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
-      "FROM e JOIN c2 c ON e.i=c.i GROUP BY 1,2), " +
-      "lists AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
-      "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d3) WHERE rn=1)"
+      s"${p}d3 AS (SELECT e.vec_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
+      s"FROM $eTab e JOIN ${p}c2 c ON e.i=c.i GROUP BY 1,2), " +
+      s"${p}lists AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM ${p}d3) WHERE rn=1)"
   }
+
+  private def lloydListsCte(c: Int): String =
+    "WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, " +
+      "unnest(embedding)::DOUBLE AS v FROM embeddings), " + lloydChain("", c, "e")
 
   private def ivfOracleSql(c: Int, k: Int, nProbe: Int): String = {
     lloydListsCte(c) + ", " +
@@ -3587,7 +3594,135 @@ object Queries {
           "s AS (SELECT count(*) AS n_present, sum(1::DOUBLE / (1::BIGINT << mj)) AS ssum FROM m) " +
           "SELECT 64::BIGINT AS n_registers, (64 - n_present)::BIGINT AS n_zero_registers, " +
           "(SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS true_distinct, " +
-          "round(0.709::DOUBLE * 4096 / (ssum + (64 - n_present)), 4) AS hll_est FROM s")))
+          "round(0.709::DOUBLE * 4096 / (ssum + (64 - n_present)), 4) AS hll_est FROM s")),
+
+    // IVF-PQ asymmetric-distance search (Jégou et al. 2011, "Product
+    // Quantization for Nearest Neighbor Search"): the MEMORY half of the
+    // ANN scale story that q48's IVF-flat leaves open — at 100 TB the
+    // float vectors (256 B+ each) cannot live in executor memory, but PQ
+    // codes can: the 64-dim space splits into m=2 subspaces, each gets its
+    // own c=16 codebook (the q48 deterministic Lloyd trainer run per
+    // subspace), and every vector stores only its per-subspace code ids
+    // (2 small ints here; 8-16 bytes in production). A query computes one
+    // (c × m)-cell distance TABLE against the codebooks — broadcast-sized
+    // — and Asymmetric Distance = the sum of table lookups by code: the
+    // corpus-side scan reads CODES, never floats. The oracle unrolls both
+    // subquantizer trainings via the prefixed Lloyd chain and replays the
+    // exact table-lookup sum.
+    Q("q124_pq_adc",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        def sub(lo: Int) = e.select(col("vec_id"),
+          expr(s"slice(embedding, $lo, 32)").as("embedding"))
+        def vecsOf(df: DataFrame) = df.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
+        val cent0 = graft.pipeline.Ivf.train(sub(1), c = 16, iters = 2)
+        val cent1 = graft.pipeline.Ivf.train(sub(33), c = 16, iters = 2)
+        // the code table: the ONLY corpus-sized frame past this point
+        val codes = graft.pipeline.Ivf.assign(vecsOf(sub(1)), cent0)
+          .select(col("vec_id"), col("cluster").as("code0"))
+          .join(graft.pipeline.Ivf.assign(vecsOf(sub(33)), cent1)
+            .select(col("vec_id"), col("cluster").as("code1")), Seq("vec_id"))
+        def qdist(vs: DataFrame, cents: DataFrame, codeCol: String, dCol: String) =
+          vs.filter(col("vec_id") < 5).crossJoin(broadcast(cents))
+            .withColumn(dCol, expr(
+              "aggregate(zip_with(v, cv, (x,y) -> (x-y)*(x-y)), 0D, (acc,z) -> acc + z)"))
+            .select(col("vec_id").as("query_id"), col("cluster").as(codeCol), col(dCol))
+        val qd0 = qdist(vecsOf(sub(1)), cent0, "code0", "d0")
+        val qd1 = qdist(vecsOf(sub(33)), cent1, "code1", "d1")
+        val adc = codes
+          .join(broadcast(qd0), Seq("code0"))
+          .join(broadcast(qd1), Seq("code1", "query_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .withColumn("adc_d2", round(col("d0") + col("d1"), 6))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+        adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+          .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+            col("vec_id").as("neighbor_id"), col("adc_d2"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(
+        "WITH e AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, " +
+          "unnest(embedding)::DOUBLE AS v FROM embeddings), " +
+          "e0 AS (SELECT vec_id, i, v FROM e WHERE i <= 32), " +
+          "e1 AS (SELECT vec_id, i - 32 AS i, v FROM e WHERE i > 32), " +
+          lloydChain("s0", 16, "e0") + ", " + lloydChain("s1", 16, "e1") + ", " +
+          "qd0 AS (SELECT e.vec_id AS query_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
+          "FROM e0 e JOIN s0c2 c ON e.i=c.i WHERE e.vec_id < 5 GROUP BY 1,2), " +
+          "qd1 AS (SELECT e.vec_id AS query_id, c.cluster, sum((e.v-c.cv)*(e.v-c.cv)) AS d2 " +
+          "FROM e1 e JOIN s1c2 c ON e.i=c.i WHERE e.vec_id < 5 GROUP BY 1,2), " +
+          "adc AS (SELECT q0.query_id, x0.vec_id AS neighbor_id, " +
+          "round(q0.d2 + q1.d2, 6) AS adc_d2 " +
+          "FROM s0lists x0 JOIN s1lists x1 ON x1.vec_id = x0.vec_id " +
+          "JOIN qd0 q0 ON q0.cluster = x0.cluster " +
+          "JOIN qd1 q1 ON q1.cluster = x1.cluster AND q1.query_id = q0.query_id " +
+          "WHERE q0.query_id <> x0.vec_id) " +
+          "SELECT query_id, rnk, neighbor_id, adc_d2 FROM (SELECT query_id, neighbor_id, adc_d2, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk FROM adc) " +
+          "WHERE rnk <= 5 ORDER BY query_id, rnk")),
+
+    // Mergeable fixed-bin quantile sketch — the fourth mergeable sketch
+    // (after the Bloom seen-set, q122 Count-Min, q123 HLL) and the SCALE
+    // path for q109's exact percentiles: 64 fixed-width bins (width 256
+    // chars, top bin open) whose counts merge by CELL-WISE ADDITION, here
+    // proven by building the histogram PER SOURCE SHARD and merging —
+    // `merge_ok` oracles that merged ≡ direct-global, the property that
+    // lets every shard of a 100 TB corpus sketch independently. Quantile
+    // estimate = integer interpolation inside the target bin (uniform
+    // assumption); exact value beside it via the q109 count-per-length
+    // discipline. All integer math — bit-equal across engines.
+    Q("q125_quantile_sketch",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bktE = "least(cast(n_chars AS BIGINT) div 256, 63L)"
+        val shard = d.groupBy(col("source"), expr(bktE).as("bkt"))
+          .agg(count(lit(1)).as("c"))
+        val hist = shard.groupBy(col("bkt")).agg(sum(col("c")).as("c"))
+        val direct = d.groupBy(expr(bktE).as("bkt")).agg(count(lit(1)).as("c2"))
+        val mergeOk = hist.join(direct, Seq("bkt"), "full_outer")
+          .agg(min(coalesce(col("c"), lit(-1L)) === coalesce(col("c2"), lit(-2L)))
+            .as("merge_ok"))
+        val wb = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = hist.withColumn("cum", sum(col("c")).over(wb))
+          .withColumn("lo", col("cum") - col("c"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val ps = n.selectExpr("n", "explode(array(50L, 90L, 99L)) AS p")
+          .withColumn("r", expr("(n * p + 99L) div 100L"))
+        val est = broadcast(ps).join(broadcast(cum), col("cum") >= col("r"))
+          .groupBy(col("p"), col("r"))
+          .agg(expr("min_by(bkt * 256 + ((r - lo) * 256) div c, bkt)").as("est_chars"))
+        val wl = Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lens = d.groupBy(col("n_chars").cast("long").as("n_chars"))
+          .agg(count(lit(1)).as("lc"))
+          .withColumn("lcum", sum(col("lc")).over(wl))
+        val exact = broadcast(ps).join(broadcast(lens), col("lcum") >= col("r"))
+          .groupBy(col("p")).agg(min(col("n_chars")).as("exact_chars"))
+        est.join(exact, Seq("p")).crossJoin(broadcast(mergeOk))
+          .select(col("p"), col("est_chars").cast("long").as("est_chars"),
+            col("exact_chars"),
+            (col("est_chars") - col("exact_chars")).cast("long").as("err"),
+            col("merge_ok"))
+          .orderBy(col("p"))
+      },
+      Some(
+        "WITH d AS (SELECT source, n_chars::BIGINT AS n_chars FROM documents), " +
+          "shard AS (SELECT source, least(n_chars // 256, 63) AS bkt, count(*) AS c FROM d GROUP BY 1,2), " +
+          "hist AS (SELECT bkt, sum(c)::BIGINT AS c FROM shard GROUP BY 1), " +
+          "direct AS (SELECT least(n_chars // 256, 63) AS bkt, count(*) AS c2 FROM d GROUP BY 1), " +
+          "mok AS (SELECT min(coalesce(h.c,-1) = coalesce(dd.c2,-2)) AS merge_ok " +
+          "FROM hist h FULL JOIN direct dd ON h.bkt = dd.bkt), " +
+          "cum AS (SELECT bkt, c, sum(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cum FROM hist), " +
+          "ps AS (SELECT p, ((SELECT count(*) FROM d) * p + 99) // 100 AS r FROM (SELECT unnest([50,90,99]) AS p)), " +
+          "est AS (SELECT p, min_by(bkt * 256 + ((r - (cum - c)) * 256) // c, bkt) AS est_chars " +
+          "FROM ps JOIN cum ON cum >= r GROUP BY p, r), " +
+          "lens AS (SELECT n_chars, count(*) AS lc, " +
+          "sum(count(*)) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS lcum FROM d GROUP BY n_chars), " +
+          "ex AS (SELECT p, min(n_chars) AS exact_chars FROM ps JOIN lens ON lcum >= r GROUP BY p) " +
+          "SELECT e.p, e.est_chars::BIGINT AS est_chars, x.exact_chars, " +
+          "(e.est_chars - x.exact_chars)::BIGINT AS err, (SELECT merge_ok FROM mok) AS merge_ok " +
+          "FROM est e JOIN ex x ON x.p = e.p ORDER BY e.p")))
 
   val all: List[Q] = relational ++ relational2 ++ trainingOps
 

@@ -236,7 +236,18 @@ object PlanCheckMain {
       "q123_hll_distinct" -> ("two aggs + 1-row broadcast, window-free",
         p => { val f = p.split("== Initial Plan ==").head
           !f.contains("SortMergeJoin") && !f.contains("Window") &&
-            !f.contains("CartesianProduct") }))
+            !f.contains("CartesianProduct") }),
+      // round 5h: PQ's scale contract — the query distance tables join the
+      // corpus-side CODE table as broadcasts; never a cartesian (the only
+      // cross shape is the C-row codebook broadcast inside the trainer)
+      "q124_pq_adc" -> ("distance tables broadcast onto the code scan",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("BroadcastHashJoin") && !f.contains("CartesianProduct") }),
+      // round 5h: the sketch is ≤64 cells built by hash aggregation; every
+      // window runs AFTER aggregation (bin/length tables, never the corpus)
+      "q125_quantile_sketch" -> ("aggregate-then-window, no cartesian",
+        p => { val f = p.split("== Initial Plan ==").head
+          f.contains("HashAggregate") && !f.contains("CartesianProduct") }))
 
     graft.Queries.all.foreach { q =>
       val df = q.fn(spark, sfDir)

@@ -111,7 +111,11 @@ object PlanDumpMain {
       "q122_countmin_hh" -> ("Count-Min sketch: 48-cell counters, map-side-combined and broadcast back",
         "The sketch build is one (row, bucket) hash aggregation whose state is 48 cells regardless of corpus size (cells merge by addition across partitions/shards — the mergeable-sketch property); the estimate probe joins those 48 rows back as a broadcast. The only corpus-sized operation is the token scan the true-count verification shares."),
       "q123_hll_distinct" -> ("HyperLogLog: register max-agg, 1-row fold, no corpus shuffle on the key",
-        "Registers are a 64-group max aggregation — map-side combine reduces every partition to ≤64 cells before the one tiny exchange (registers merge by cell-wise MAX, the same shape approx_count_distinct uses) — and the estimate folds them in a second 1-row aggregate. The exact-distinct control beside it is the shape this replaces: a corpus-wide shuffle on the key."))
+        "Registers are a 64-group max aggregation — map-side combine reduces every partition to ≤64 cells before the one tiny exchange (registers merge by cell-wise MAX, the same shape approx_count_distinct uses) — and the estimate folds them in a second 1-row aggregate. The exact-distinct control beside it is the shape this replaces: a corpus-wide shuffle on the key."),
+      "q124_pq_adc" -> ("IVF-PQ: codebooks and distance tables broadcast, the scan reads codes",
+        "Both subquantizer codebooks are C-row broadcasts (the trainer's only cross shape); the per-query distance TABLES are (queries × C × m) rows and broadcast onto the corpus-side CODE table, so the search scan touches two small ints per vector — never the float vectors. At 100 TB this is the memory story IVF-flat lacks: 8-16 B codes replace 256 B+ floats, and ADC is two BroadcastHashJoins plus an addition. Ranking is per-query windows over candidate rows, bounded by the query batch."),
+      "q125_quantile_sketch" -> ("Quantile sketch: ≤64-cell mergeable histogram, windows post-aggregation",
+        "The histogram is one map-side-combinable hash aggregation into ≤64 fixed bins — built per source shard and merged cell-wise (the oracle's merge_ok pins merged ≡ direct-global, the mergeability that lets every shard sketch independently). Every window (cumulative bin counts, count-per-length exact control) runs AFTER aggregation over bounded tables; the corpus is scanned once and never sorted."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by PlanDumpMain)\n\n")
