@@ -2476,7 +2476,7 @@ object Queries {
     // no task ever sorts a popular term's full candidate set.
     Q("q99_bm25_topk",
       (s, dir) => {
-        val posts = graft.pipeline.InvertedIndex.postings(t(s, dir, "documents"))
+        val docs = t(s, dir, "documents")
         val qs = s.createDataFrame(java.util.Arrays.asList(
             org.apache.spark.sql.Row(1L, "spark"), org.apache.spark.sql.Row(1L, "join"),
             org.apache.spark.sql.Row(2L, "window"), org.apache.spark.sql.Row(2L, "merge"),
@@ -2484,7 +2484,9 @@ object Queries {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
-        graft.pipeline.InvertedIndex.searchTopK(posts, qs, k = 5)
+        // r6: term-pruned postings + scalar doc-length table — one corpus
+        // explode pass instead of four (the 38-Exchange plan collapses)
+        graft.pipeline.InvertedIndex.searchTopKFromDocs(docs, qs, k = 5)
           .select(col("qid"), col("rank"), col("doc_id"), col("score"))
           .orderBy(col("qid"), col("rank"))
       },
@@ -2850,9 +2852,15 @@ object Queries {
     Q("q108_bm25_fielded",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        val anchorDocs = docs.select(col("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 4), " ").as("text"))
         val body = graft.pipeline.InvertedIndex.postings(docs)
-        val anchor = graft.pipeline.InvertedIndex.postings(docs.select(col("doc_id"),
-          array_join(slice(split(col("text"), " "), 1, 4), " ").as("text")))
+        val anchor = graft.pipeline.InvertedIndex.postings(anchorDocs)
+        // r6: per-field doc-length/stats tables from the scalar docLens
+        // projection instead of re-aggregating each field's postings —
+        // 4 corpus explode passes per field collapse to 1 (70-Exchange plan)
+        val bLens = graft.pipeline.InvertedIndex.docLens(docs)
+        val aLens = graft.pipeline.InvertedIndex.docLens(anchorDocs)
         val qs = s.createDataFrame(java.util.Arrays.asList(
             org.apache.spark.sql.Row(1L, "data"), org.apache.spark.sql.Row(1L, "table"),
             org.apache.spark.sql.Row(2L, "hash"), org.apache.spark.sql.Row(2L, "sort"),
@@ -2860,7 +2868,9 @@ object Queries {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("qid", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType))))
-        graft.pipeline.InvertedIndex.searchTopKFielded(body, anchor, qs, k = 5)
+        graft.pipeline.InvertedIndex.searchTopKFielded(body, anchor, qs, k = 5,
+            bodyLensStats = Some((bLens, graft.pipeline.InvertedIndex.statsOf(bLens))),
+            anchorLensStats = Some((aLens, graft.pipeline.InvertedIndex.statsOf(aLens))))
           .select(col("qid"), col("rank"), col("doc_id"), col("score"))
           .orderBy(col("qid"), col("rank"))
       },

@@ -261,6 +261,37 @@ object InvertedIndex {
   def searchTopK(posts: DataFrame, queries: DataFrame, k: Int): DataFrame =
     rankTopK(scores(posts, queries), k)
 
+  /** [[searchTopK]] straight from a docs frame: the postings subtree is
+    * term-pruned by the query vocabulary, and the doc-length/stats tables
+    * come from [[docLens]]'s scalar projection instead of re-aggregating
+    * the postings — one corpus explode pass instead of four.
+    */
+  def searchTopKFromDocs(docs: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lens = docLens(docs, idCol, textCol)
+    rankTopK(scoresWith(postings(docs, idCol, textCol), lens, statsOf(lens),
+      queries), k)
+  }
+
+  /** Per-doc token-count table computed SCALAR-WISE from the docs frame —
+    * value-identical to aggregating [[postings]] by doc (dl = count of
+    * non-empty space-split tokens; zero-token docs absent in both) but
+    * with no explode and no shuffle (guide §2.3/§2.4: don't re-aggregate
+    * the corpus-sized postings subtree to recover what one projection of
+    * the source row already knows).
+    */
+  def docLens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        size(expr(s"filter(split($textCol, ' '), x -> length(x) > 0)"))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0L)
+
+  /** (n_docs, total_dl) corpus stats over a length table. */
+  def statsOf(lens: DataFrame): DataFrame =
+    lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("total_dl"))
+
   /** Un-ranked BM25 scores per (qid, doc_id) — the scoring half of
     * [[searchTopK]], exposed so fielded search can COMBINE per-field
     * scores before ranking (ranking per field first and merging top-k
@@ -270,9 +301,7 @@ object InvertedIndex {
   def scores(posts: DataFrame, queries: DataFrame): DataFrame = {
     val lens = posts.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
-      sum(col("dl")).cast("long").as("total_dl"))
-    scoresWith(posts, lens, stats, queries)
+    scoresWith(posts, lens, statsOf(lens), queries)
   }
 
   /** [[scores]] with the doc-length table and (n_docs, total_dl) stats
@@ -286,12 +315,24 @@ object InvertedIndex {
     // contribution (tf already carries within-doc frequency; the query
     // side is a term SET)
     val qTerms = queries.select(col("qid"), col("term")).distinct()
-    val dfQ = posts
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
-    val cand = posts
+    // The query batch's term VOCABULARY is driver-small by construction
+    // (it is the user's query text, not corpus data), so collect it and
+    // push an IN predicate onto the postings frame: against a committed
+    // generation it reaches the parquet scan (PushedFilters + min/max row-
+    // group pruning on the term-sorted files); against a freshly built
+    // postings frame Catalyst pushes it through the (term, doc_id) groupBy
+    // so only matching tokens are ever aggregated. Before this, the
+    // corpus-sized posts subtree was evaluated TWICE un-pruned (df pass +
+    // candidate pass — guide §2.4 duplicated-subtree smell).
+    val termList = qTerms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val matched = posts.filter(col("term").isin(termList: _*))
+    // df = postings rows per term, over the SAME term-pruned subtree via a
+    // window instead of a second aggregation pass + broadcast join
+    val cand = matched
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("long"))
       .join(broadcast(qTerms), Seq("term"))
-      .join(broadcast(dfQ), Seq("term"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       // fixed-point products ride decimal(38,0) where they exceed Long at
@@ -323,10 +364,17 @@ object InvertedIndex {
     *                    TARGET doc (q90's anchor index shape)
     */
   def searchTopKFielded(bodyPosts: DataFrame, anchorPosts: DataFrame,
-      queries: DataFrame, k: Int, anchorWeight: Long = 3L): DataFrame = {
-    val b = scores(bodyPosts, queries)
+      queries: DataFrame, k: Int, anchorWeight: Long = 3L,
+      bodyLensStats: Option[(DataFrame, DataFrame)] = None,
+      anchorLensStats: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    def fieldScores(posts: DataFrame,
+        ls: Option[(DataFrame, DataFrame)]): DataFrame = ls match {
+      case Some((lens, stats)) => scoresWith(posts, lens, stats, queries)
+      case None => scores(posts, queries)
+    }
+    val b = fieldScores(bodyPosts, bodyLensStats)
       .withColumnRenamed("score", "body_score")
-    val a = scores(anchorPosts, queries)
+    val a = fieldScores(anchorPosts, anchorLensStats)
       .withColumnRenamed("score", "anchor_score")
     val combined = b.join(a, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"),
@@ -340,7 +388,7 @@ object InvertedIndex {
     * keeps its k best, the union holds every global top-k member), while
     * no task ever sorts a query's full candidate set.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val wLocal = Window.partitionBy(col("qid"), col("__shard"))
       .orderBy(col("score").desc, col("doc_id"))
     val wGlobal = Window.partitionBy(col("qid"))
