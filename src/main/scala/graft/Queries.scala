@@ -809,9 +809,14 @@ object Queries {
         // signature computed once; bands unpivoted with stack (single
         // scan); shingles ride along through the candidate join so the
         // expensive shingle+minhash pass is never recomputed
+        // r6: the banded signature table is pinned before the self-join —
+        // without it each join side re-ran the full shingle+minhash pass
+        // (2× the expensive subtree; at corpus scale a dedup stack
+        // materializes its signature table exactly once)
         val banded = sig.selectExpr("doc_id", "lang", "shingles",
           "stack(2, 0, md5(concat_ws('_', cast(m0 AS string), cast(m1 AS string))), " +
             "1, md5(concat_ws('_', cast(m2 AS string), cast(m3 AS string)))) AS (band_id, band_val)")
+          .localCheckpoint(true)
         val cand = banded.as("x").join(
             banded.select(col("doc_id"), col("shingles"), col("band_id"), col("band_val")).as("y"),
             col("x.band_id") === col("y.band_id") && col("x.band_val") === col("y.band_val"))
@@ -909,13 +914,14 @@ object Queries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
-        val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        // r6: norms per side before the join, not per pair (bit-identical
+        // cosines — same expression, same arrays; guide §2.3)
+        val en = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+        val q = en.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("nq"))
+        val cand = en.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
         val pairs = q.crossJoin(cand).filter(col("query_id") =!= col("neighbor_id"))
           .withColumn("dot", expr("aggregate(zip_with(qv, nv, (a,b) -> a*b), 0D, (acc,x) -> acc + x)"))
-          .withColumn("nq", expr("sqrt(aggregate(qv, 0D, (acc,x) -> acc + x*x))"))
-          .withColumn("nn", expr("sqrt(aggregate(nv, 0D, (acc,x) -> acc + x*x))"))
           .withColumn("cos", round(col("dot") / (col("nq") * col("nn")), 3))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
         pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
@@ -937,14 +943,15 @@ object Queries {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
           .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
-        val q = e.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"))
-        val cand = e.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("nv"))
+        // r6: norms per side before the join, not per pair (bit-identical)
+        val en = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+        val q = en.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label"), col("v").as("qv"), col("nrm").as("nq"))
+        val cand = en.select(col("vec_id").as("neighbor_id"), col("label"), col("v").as("nv"), col("nrm").as("nn"))
         val pairs = q.join(cand, Seq("label")).filter(col("query_id") =!= col("neighbor_id"))
           .withColumn("cos", round(
             expr("aggregate(zip_with(qv, nv, (a,b) -> a*b), 0D, (acc,x) -> acc + x)") /
-              (expr("sqrt(aggregate(qv, 0D, (acc,x) -> acc + x*x))") *
-                expr("sqrt(aggregate(nv, 0D, (acc,x) -> acc + x*x))")), 3))
+              (col("nq") * col("nn")), 3))
         val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
         pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
           .select(col("query_id"), col("label"), col("rnk"), col("neighbor_id"), col("cos"))
@@ -967,15 +974,21 @@ object Queries {
     // corpus would run the same plan at τ≈0.95.
     Q("q64_embedding_neardup",
       (s, dir) => {
+        // r6: norms computed once per VECTOR before the pair join instead
+        // of twice per PAIR — same sqrt(Σx²) expression over the same
+        // array, so every cosine is bit-identical (guide §2.3); per-pair
+        // work drops to the dot product alone
         val e = t(s, dir, "embeddings")
           .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
-        val a = e.select(col("label"), col("vec_id").as("ida"), col("v").as("va"))
-        val b = e.select(col("label"), col("vec_id").as("idb"), col("v").as("vb"))
+          .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+        val a = e.select(col("label"), col("vec_id").as("ida"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = e.select(col("label"), col("vec_id").as("idb"), col("v").as("vb"),
+          col("nrm").as("nb"))
         val pairs = a.join(b, Seq("label")).filter(col("ida") < col("idb"))
           .withColumn("cos", round(
             expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (acc,z) -> acc + z)") /
-              (expr("sqrt(aggregate(va, 0D, (acc,x) -> acc + x*x))") *
-                expr("sqrt(aggregate(vb, 0D, (acc,x) -> acc + x*x))")), 6))
+              (col("na") * col("nb")), 6))
           .filter(col("cos") >= 0.38)
         pairs.agg(count(lit(1)).as("n_neardup_pairs"),
           countDistinct(col("idb")).as("n_dropped"),
@@ -1008,6 +1021,9 @@ object Queries {
           s"$b, (sh >> ${12 * b}) & 4095").mkString(", ")
         val banded = sh.selectExpr("doc_id", "sh",
           s"stack(4, $bandExprs) AS (band_id, band_val)")
+          // r6: pinned — both self-join sides otherwise recompute the
+          // corpus scan + signature (the q31 discipline)
+          .localCheckpoint(true)
         val cand = banded.as("x").join(
             banded.select(col("doc_id"), col("sh"), col("band_id"), col("band_val")).as("y"),
             col("x.band_id") === col("y.band_id") && col("x.band_val") === col("y.band_val"))
@@ -1345,16 +1361,31 @@ object Queries {
           .when(col("lang") === "de", lit(" der und von mit für gute wasser haus über"))
           .when(col("lang") === "es", lit(" el y de con muy buena agua casa señor"))
           .otherwise(lit(" 的 和 很 好 水 房子 在 是"))
+        // r6: trigrams via a ONE-TIME split to a codepoint array + O(1)
+        // element_at instead of substring(tt, i, 3) per position —
+        // UTF8String.substring re-scans the string to find offset i, so
+        // the old expression was O(len²) per document (≈2 s/pass at sf0.1,
+        // and this query ran the pass three times). Same trigram strings:
+        // both split('') and substring count code points.
         val grams = t(s, dir, "documents")
           .withColumn("tt", lower(concat(col("text"), marker)))
           .filter(length(col("tt")) >= 3)
+          .withColumn("ch", split(col("tt"), ""))
           .select(col("doc_id"), col("lang"),
-            explode(expr("transform(sequence(1, length(tt)-2), i -> substring(tt, i, 3))")).as("tg"))
+            explode(expr("transform(sequence(1, size(ch)-2), i -> concat(element_at(ch,i), element_at(ch,i+1), element_at(ch,i+2)))")).as("tg"))
+        // r6: the (lang, trigram) profile is pinned — per-lang totals
+        // derive FROM it (sum of its counts ≡ count of train grams per
+        // lang) and the rate join reads it again, so the trigram explode
+        // over 80% of the corpus runs ONCE instead of twice more. (A
+        // further fold into one shared per-(doc,trigram) count pass was
+        // measured SLOWER: materializing the ~corpus-sized gram table
+        // costs more than the explode it saves.)
         val train = grams.filter(pmod(col("doc_id"), lit(5)) < 4)
         val profile = train.groupBy(col("lang").as("plang"), col("tg"))
           .agg(count(lit(1)).as("cnt"))
-        val totals = train.groupBy(col("lang").as("plang"))
-          .agg(count(lit(1)).as("tot"))
+          .localCheckpoint(true)
+        val totals = profile.groupBy(col("plang"))
+          .agg(sum(col("cnt")).as("tot"))
         val freq = profile.join(totals, "plang")
           .select(col("plang"), col("tg"), expr("(cnt * 1000000L) div tot").as("ppm"))
         val test = grams.filter(pmod(col("doc_id"), lit(5)) === 4)
@@ -1940,6 +1971,10 @@ object Queries {
             "posexplode(transform(sequence(1, size(wrd)-9), i -> concat_ws(' ', slice(wrd, i, 10)))) as (off, g)")
           .withColumn("pos", col("off") + 1).drop("off")
           .withColumn("ord", col("doc_id") * 1000000L + col("pos"))
+          // r6: pinned — the first-occurrence aggregate AND the dups join
+          // both read the window table; without the pin the posexplode +
+          // 10-gram concat pass ran twice
+          .localCheckpoint(true)
         val first = win.groupBy(col("g")).agg(min(col("ord")).as("first_ord"))
         val dups = win.join(first, "g").filter(col("ord") > col("first_ord"))
         val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -3380,6 +3415,11 @@ object Queries {
           .withColumn("len_ok",
             col("n_tokens") >= col("p10") && col("n_tokens") <= col("p99"))
           .withColumn("qual_ok", col("s_ppk") >= 10)
+          // r6: pinned — the survivor chain (exact-dup detection) and the
+          // final stage attribution both read `staged`; without the pin
+          // the corpus scan + stopword-ratio splits + percentile crossJoin
+          // ran three times
+          .localCheckpoint(true)
         val surv = staged.filter(!col("blocked") && col("len_ok") && col("qual_ok"))
           .withColumn("h", md5(col("text").cast("binary")))
         val first = surv.groupBy(col("h")).agg(min(col("doc_id")).as("first_id"))
@@ -3444,14 +3484,19 @@ object Queries {
         // sides — without the checkpoint each side re-runs the full
         // scan + centroid-distance pipeline (2× the assignment cost; at
         // corpus scale a persisted list table, as q102 persists its index)
-        val lists = graft.pipeline.Ivf.assign(vecs, centroids).localCheckpoint(true)
-        val a = lists.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"))
-        val b = lists.select(col("cluster"), col("vec_id").as("idb"), col("v").as("vb"))
+        val lists = graft.pipeline.Ivf.assign(vecs, centroids)
+          // r6: norms pinned WITH the list table — computed once per
+          // vector, not twice per intra-cluster pair (bit-identical)
+          .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+          .localCheckpoint(true)
+        val a = lists.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"),
+          col("nrm").as("na"))
+        val b = lists.select(col("cluster"), col("vec_id").as("idb"), col("v").as("vb"),
+          col("nrm").as("nb"))
         val pairs = a.join(b, Seq("cluster")).filter(col("ida") < col("idb"))
           .withColumn("cos", round(
             expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (acc,z) -> acc + z)") /
-              (expr("sqrt(aggregate(va, 0D, (acc,x) -> acc + x*x))") *
-                expr("sqrt(aggregate(vb, 0D, (acc,x) -> acc + x*x))")), 6))
+              (col("na") * col("nb")), 6))
         pairs.agg(
           count(lit(1)).as("n_intra_pairs"),
           sum(when(col("cos") >= 0.38, 1).otherwise(0)).cast("long").as("n_semdup_pairs"),
@@ -3484,13 +3529,21 @@ object Queries {
     // top-20 is TakeOrderedAndProject — no window, no global sort.
     Q("q121_dsir_select",
       (s, dir) => {
-        val g = t(s, dir, "documents")
+        // r6: the token explode + per-token md5 bucketing is folded into
+        // ONE pass producing per-(doc, bucket) counts, pinned and reused by
+        // all three consumers (target rates, raw rates, doc scoring) — the
+        // r5 plan evaluated the full explode+md5 subtree three times.
+        // Exact: Σ_token w_ppm ≡ Σ_bucket cnt·w_ppm, counts are integers.
+        val db = t(s, dir, "documents")
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .withColumn("bkt", expr("cast(conv(substr(md5(w), 1, 6), 16, 10) AS BIGINT) % 256"))
-        val tcnt = g.filter(col("lang") === "en")
-          .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
-        val rcnt = g.groupBy(col("bkt")).agg(count(lit(1)).as("rc"))
+          .groupBy(col("doc_id"), col("lang"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val tcnt = db.filter(col("lang") === "en")
+          .groupBy(col("bkt")).agg(sum(col("cnt")).as("tc"))
+        val rcnt = db.groupBy(col("bkt")).agg(sum(col("cnt")).as("rc"))
         val ttot = tcnt.agg(sum(col("tc")).as("tt"))
         val rtot = rcnt.agg(sum(col("rc")).as("rt"))
         val lr = rcnt.join(tcnt, Seq("bkt"), "left")
@@ -3498,9 +3551,10 @@ object Queries {
           .select(col("bkt"),
             (expr("((coalesce(tc, 0L) + 1L) * 1000000L) div (tt + 256L)") -
               expr("((rc + 1L) * 1000000L) div (rt + 256L)")).as("w_ppm"))
-        g.join(broadcast(lr), Seq("bkt"))
+        db.join(broadcast(lr), Seq("bkt"))
           .groupBy(col("doc_id"))
-          .agg(max(col("lang")).as("lang"), sum(col("w_ppm")).cast("long").as("weight"))
+          .agg(max(col("lang")).as("lang"),
+            sum(col("cnt") * col("w_ppm")).cast("long").as("weight"))
           .orderBy(col("weight").desc, col("doc_id"))
           .limit(20)
       },
@@ -3537,10 +3591,15 @@ object Queries {
         val tok = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0)
-        val hashed = tok.selectExpr(
-          s"stack(3, 0L, ${bkt(0)}, 1L, ${bkt(1)}, 2L, ${bkt(2)}) AS (r, bkt)")
-        val counters = hashed.groupBy(col("r"), col("bkt")).agg(count(lit(1)).as("c"))
         val truec = tok.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+        // r6: the counter cells derive FROM the per-token exact counts
+        // (cell count = Σ true_cnt of tokens hashing there — the hash is a
+        // pure function of the token) instead of a second full token
+        // explode + stack pass over the corpus (guide §2.4); the sketch
+        // stays 48 cells, merged by addition
+        val counters = truec.selectExpr("true_cnt",
+            s"stack(3, 0L, ${bkt(0)}, 1L, ${bkt(1)}, 2L, ${bkt(2)}) AS (r, bkt)")
+          .groupBy(col("r"), col("bkt")).agg(sum(col("true_cnt")).as("c"))
         val probes = truec.selectExpr("tok", "true_cnt",
           s"stack(3, 0L, ${bkt(0)}, 1L, ${bkt(1)}, 2L, ${bkt(2)}) AS (r, bkt)")
         probes.join(broadcast(counters), Seq("r", "bkt"))

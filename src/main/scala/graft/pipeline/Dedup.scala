@@ -60,8 +60,14 @@ object Dedup {
       reliable: Boolean = false, bands: Int = 1, rowsPerBand: Int = 2): DataFrame = {
     def cp(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // r6: the edge table is pinned LAZILY — it materializes inside the
+    // components loop's first action instead of paying a separate eager
+    // job (the minhash key table stays eager: it fans out into hubs, the
+    // star join, and the vertex list, and is the expensive subtree)
+    def cpLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(false)
     val keyedC = cp(bandKeys(corpus, idCol, textCol, canonicalCol, bands, rowsPerBand)) // minhash computed once
-    val edges = cp(starEdges(keyedC))
+    val edges = cpLazy(starEdges(keyedC))
     connectedComponents(keyedC.select(col("id")).distinct(), edges,
       reliable = reliable)
   }
@@ -112,9 +118,12 @@ object Dedup {
     val star = keyed.join(hubs, Seq("band"))
       .filter(col("id") =!= col("hub"))
       .select(col("id").as("src"), col("hub").as("dst"))
-    star
-      .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // No distinct(): min-label propagation is idempotent under duplicate
+    // edges (a pair sharing its hub through two bands), and the distinct
+    // was a full extra shuffle of the edge table per clustering — the
+    // duplicate fraction is bounded by docs agreeing on >1 band, which the
+    // LSH S-curve keeps tiny (guide §2.4: remove shuffles outright).
+    star.unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Connected components over an edge list via iterative min-label
@@ -147,9 +156,16 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 60, reliable: Boolean = false): DataFrame = {
+    // r6: per-round pins are LAZY local checkpoints — the round's checksum
+    // aggregate is the action that materializes them, so each round costs
+    // ONE job instead of an eager-materialize job plus a checksum job.
+    // (`reliable` keeps the eager reliable checkpoint: on a real cluster
+    // the pin must land before the lineage is dropped.)
     def cp(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
-    var labels = cp(vertices.select(col("id"), col("id").as("comp")))
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(false)
+    // initial labels are a 2-op projection over the caller's (usually
+    // already-pinned) vertex table — no checkpoint needed before round 1
+    var labels = vertices.select(col("id"), col("id").as("comp"))
     def checksum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("comp").cast("decimal(38,0)"))).head().get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -159,17 +175,36 @@ object Dedup {
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      // eager checkpoint per round: an iterative DataFrame loop must
-      // truncate lineage or round k re-executes rounds 1..k-1
-      labels = cp(edges.join(labels, edges("src") === labels("id"))
+      // POINTER JUMP first (r6): comp' = comp(comp), reading the previous
+      // round's pinned labels twice (cache hits, no recompute). Labels are
+      // always vertex ids, so the self-join resolves every row; the left
+      // join + coalesce keeps a missing target (impossible by
+      // construction) at its own label rather than dropping the row.
+      // Jump + hop per round turns O(diameter) rounds into O(log diameter)
+      // — same monotone non-increasing labels, same min-reachable-id
+      // fixpoint, so the result is identical row-for-row.
+      val l2 = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+      def jump(df: DataFrame): DataFrame =
+        df.join(l2, df("comp") === l2("jid"), "left")
+          .select(df("id"), coalesce(col("jcomp"), df("comp")).as("comp"))
+      // pinned (lazily): the hop below reads `jumped` on both its join and
+      // union branches — one computation, shared blocks. (A second jump per
+      // round was measured round-neutral — labels are already compressed
+      // against the information available — so one jump is the sweet spot.)
+      val jumped = cp(jump(labels))
+      // checkpoint per round: an iterative DataFrame loop must truncate
+      // lineage or round k re-executes rounds 1..k-1
+      labels = cp(edges.join(jumped, edges("src") === jumped("id"))
         .select(col("dst").as("id"), col("comp"))
-        .unionByName(labels)
+        .unionByName(jumped)
         .groupBy(col("id")).agg(min(col("comp")).as("comp")))
       val s = checksum(labels)
       done = s.compareTo(prev) == 0
       prev = s
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged in $iter rounds")
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
