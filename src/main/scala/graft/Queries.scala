@@ -1658,6 +1658,9 @@ object Queries {
             "transform(sequence(0, cast(ceil(size(wrd)/8.0) as int)-1), i -> concat_ws(' ', slice(wrd, i*8+1, 8)))"))
           .selectExpr("doc_id", "posexplode(chunks) as (pidx, para)")
           .withColumn("ord", col("doc_id") * 1000000L + col("pidx"))
+          // r6: pinned — the first-occurrence aggregate and the join both
+          // read the paragraph table (was 2 explode passes)
+          .localCheckpoint(true)
         val first = paras.groupBy(col("para")).agg(min(col("ord")).as("first_ord"))
         paras.join(first, "para").agg(
           count(lit(1)).as("n_paras"),
@@ -1695,23 +1698,32 @@ object Queries {
     // global window is the ntile over the bounded cutoff sample.
     Q("q80_lm_quality",
       (s, dir) => {
+        // r6: the bigram explode is pinned (the LM-train join and the
+        // corpus scoring both read it — was 2 explode passes); the train
+        // token total derives from the LM's own counts (Σ cnt ≡ count of
+        // train bigrams) instead of a second pass over the train slice;
+        // the scored table is pinned (cutoff sample + final bucketing)
         val bg = t(s, dir, "documents")
           .withColumn("wrd", split(col("text"), " "))
           .filter(size(col("wrd")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(wrd)-2), i -> concat_ws(' ', element_at(wrd,i+1), element_at(wrd,i+2)))")).as("g"))
+          .localCheckpoint(true)
         val trainIds = t(s, dir, "documents")
           .select(col("doc_id"), md5(col("doc_id").cast("string")).as("__r"))
           .orderBy(col("__r"), col("doc_id")).limit(2000)
           .select(col("doc_id"))
         val train = bg.join(broadcast(trainIds), Seq("doc_id"))
-        val tot = train.agg(count(lit(1)).as("tot"))
-        val lm = train.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        val lmCounts = train.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val tot = lmCounts.agg(sum(col("cnt")).as("tot"))
+        val lm = lmCounts
           .crossJoin(broadcast(tot))
           .select(col("g"), expr("(cnt * 1000000L) div tot").as("ppm"))
         val scored = bg.join(broadcast(lm), Seq("g"), "left")
           .groupBy(col("doc_id"))
           .agg(expr("sum(coalesce(ppm, 0L)) div count(*)").as("avg_ppm"))
+          .localCheckpoint(true)
         val sample = scored.filter(pmod(col("doc_id"), lit(20)) === 0)
           .withColumn("b", ntile(3).over(Window.orderBy(col("avg_ppm").desc, col("doc_id"))))
         val cuts = sample.agg(
@@ -3103,7 +3115,10 @@ object Queries {
     // come from the FULL corpus.
     Q("q113_tfidf_keywords",
       (s, dir) => {
+        // r6: pinned — doc count, document frequencies, and the scoring
+        // join all read the postings (was 3 explode+aggregate passes)
         val posts = graft.pipeline.InvertedIndex.postings(t(s, dir, "documents"))
+          .localCheckpoint(true)
         val nd = posts.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
         val dfT = posts.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
         val w = Window.partitionBy(col("doc_id"))
@@ -3144,17 +3159,25 @@ object Queries {
     // global sort.
     Q("q114_pmi_collocations",
       (s, dir) => {
+        // r6: the positional token stream is pinned (adjacency window +
+        // unigram counts read it — was 3 explode passes); bigram totals
+        // derive from the bigram counts (Σ c12 pre-filter ≡ count of
+        // adjacent pairs) and token totals from the unigram counts, so
+        // neither pays another corpus pass
         val toks = graft.pipeline.InvertedIndex.tokensPositional(t(s, dir, "documents"))
+          .localCheckpoint(true)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
         val big = toks
           .withColumn("nxt", lead(col("term"), 1).over(w))
           .withColumn("npos", lead(col("pos"), 1).over(w))
           .filter(col("nxt").isNotNull && col("npos") === col("pos") + 1)
         val uni = toks.groupBy(col("term")).agg(count(lit(1)).cast("long").as("c1"))
-        val tot = toks.agg(count(lit(1)).cast("long").as("t_tokens"))
+          .localCheckpoint(true)
+        val tot = uni.agg(sum(col("c1")).cast("long").as("t_tokens"))
         val bi = big.groupBy(col("term"), col("nxt"))
           .agg(count(lit(1)).cast("long").as("c12"))
-        val totB = big.agg(count(lit(1)).cast("long").as("t_bigrams"))
+          .localCheckpoint(true)
+        val totB = bi.agg(sum(col("c12")).cast("long").as("t_bigrams"))
         bi.filter(col("c12") >= 5)
           .join(uni.select(col("term"), col("c1").as("cw1")), Seq("term"))
           .join(uni.select(col("term").as("nxt"), col("c1").as("cw2")), Seq("nxt"))
@@ -3685,8 +3708,18 @@ object Queries {
           expr(s"slice(embedding, $lo, 32)").as("embedding"))
         def vecsOf(df: DataFrame) = df.select(col("vec_id"),
           expr("transform(embedding, x -> cast(x AS DOUBLE))").as("v"))
-        val cent0 = graft.pipeline.Ivf.train(sub(1), c = 16, iters = 2)
-        val cent1 = graft.pipeline.Ivf.train(sub(33), c = 16, iters = 2)
+        // r6: the two subquantizer trainings are INDEPENDENT job chains —
+        // run them from two driver threads so their tiny stages interleave
+        // (guide §2.6 overlap independent jobs); values are unchanged
+        // (each training's plan and partitioning is untouched)
+        val (cent0, cent1) = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val f0 = Future { graft.pipeline.Ivf.train(sub(1), c = 16, iters = 2) }
+          val f1 = Future { graft.pipeline.Ivf.train(sub(33), c = 16, iters = 2) }
+          (Await.result(f0, scala.concurrent.duration.Duration.Inf),
+            Await.result(f1, scala.concurrent.duration.Duration.Inf))
+        }
         // the code table: the ONLY corpus-sized frame past this point
         val codes = graft.pipeline.Ivf.assign(vecsOf(sub(1)), cent0)
           .select(col("vec_id"), col("cluster").as("code0"))

@@ -151,16 +151,24 @@ object Multimodal {
     */
   def featureKnn(meta0: DataFrame, k: Int = 3): DataFrame = {
     // empty payloads decode to the zero vector — no direction, excluded
+    // r6: pinned — both self-join sides read the decode-stage output
+    // (without the pin each side re-ran the full decode), and norms are
+    // computed once per SIDE instead of twice per pair (bit-identical:
+    // same sqrt(Σx²) expression over the same array)
     val meta = meta0.filter(
       expr("aggregate(features, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x)") > 0)
-    val q = meta.select(col("url").as("query_url"), col("features").as("qf"), col("media_type"))
-    val c = meta.select(col("url").as("cand_url"), col("features").as("cf"), col("media_type"))
+      .withColumn("__nrm",
+        expr("sqrt(aggregate(features, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))"))
+      .localCheckpoint(true)
+    val q = meta.select(col("url").as("query_url"), col("features").as("qf"),
+      col("media_type"), col("__nrm").as("nq"))
+    val c = meta.select(col("url").as("cand_url"), col("features").as("cf"),
+      col("media_type"), col("__nrm").as("nc"))
     import org.apache.spark.sql.expressions.Window
     val pairs = q.join(c, Seq("media_type")).filter(col("query_url") =!= col("cand_url"))
       .withColumn("cos", round(
         expr("aggregate(zip_with(qf, cf, (a,b) -> cast(a AS DOUBLE)*b), 0D, (acc,x) -> acc+x)") /
-          (expr("sqrt(aggregate(qf, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))") *
-            expr("sqrt(aggregate(cf, 0D, (acc,x) -> acc + cast(x AS DOUBLE)*x))")), 3))
+          (col("nq") * col("nc")), 3))
     val w = Window.partitionBy(col("query_url")).orderBy(col("cos").desc, col("cand_url").asc)
     pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .select(col("media_type"), col("query_url"), col("rnk"), col("cand_url"), col("cos"))

@@ -75,9 +75,14 @@ object TemplateStrip {
     */
   def flag(paras: DataFrame, hostCol: String, idCol: String,
       thresholdPpk: Long = 500L, minHostDocs: Long = 2L): DataFrame = {
-    val hostDocs = paras.groupBy(col(hostCol))
+    // r6: both counting aggregations read a pinned NARROW key projection
+    // of the paragraph table instead of each re-running the full explode
+    // subtree (3 passes -> 2: one for the keys, one for the decision join)
+    val keys = paras.select(col(hostCol), col(idCol), col("para"))
+      .localCheckpoint(true)
+    val hostDocs = keys.groupBy(col(hostCol))
       .agg(countDistinct(col(idCol)).as("host_docs"))
-    val paraDocs = paras.groupBy(col(hostCol), col("para"))
+    val paraDocs = keys.groupBy(col(hostCol), col("para"))
       .agg(countDistinct(col(idCol)).as("para_docs"))
     paras
       .join(paraDocs, Seq(hostCol, "para"))
