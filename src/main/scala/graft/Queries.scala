@@ -26,6 +26,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan spreading (guide §2.5, "input skew: one huge
+    * unsplittable file … repartition immediately after the read"): each
+    * sf table is ONE small parquet file, so its scan plans 1–3 input
+    * splits (openCostInBytes floors the split size at 4 MB) and every
+    * CPU-heavy downstream projection — minhash, trigram explode,
+    * postings, simhash — runs on 1–3 of the granted cores. When the
+    * planned scan parallelism is below the session's default parallelism,
+    * repartition round-robin to the default (deterministic:
+    * sortBeforeRepartition is on, SPARK-23207); a corpus-scale source
+    * already plans far more splits than cores and passes through
+    * UNCHANGED, so nothing here is tuned to local mode.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ------------------------------------------------------------------
   // Relational surface
   // ------------------------------------------------------------------
@@ -494,6 +511,14 @@ object Queries {
     val d = t(s, dir, "documents")
     d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000))
   }
+
+  /** [[dupCorpus]] spread for CPU-heavy consumers (shingling, minhash,
+    * n-gram explodes — see [[spread]]); the cheap hash-agg consumers keep
+    * the plain 2-split union, where an extra exchange costs more than the
+    * parallelism buys.
+    */
+  private def dupCorpusSpread(s: SparkSession, dir: String): DataFrame =
+    spread(dupCorpus(s, dir))
   private val dupCorpusSql =
     "(SELECT * FROM documents UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars FROM documents)"
 
@@ -522,8 +547,25 @@ object Queries {
     dupLabelCache.computeIfAbsent(s.hashCode() + "|" + dir,
       _ => dupClusterLabelsUncached(s, dir))
 
-  private def dupClusterLabelsUncached(s: SparkSession, dir: String): DataFrame =
-    graft.pipeline.Dedup.minhashClusterLabels(dupCorpus(s, dir), "doc_id", "text")
+  /** Content MinHash band keys over the dup corpus, computed ONCE per
+    * (session, sfDir) and shared by the label cache and q67 — exactly the
+    * table `CuratedPipeline.run` persists as `index/bands` so consumers
+    * never re-key the corpus (r6: q67 previously re-ran the whole minhash
+    * pass to add one canonical-key sliver on top of identical content keys).
+    */
+  private val dupBandKeyCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def dupBandKeys(s: SparkSession, dir: String): DataFrame =
+    dupBandKeyCache.computeIfAbsent(s.hashCode() + "|" + dir, _ =>
+      graft.pipeline.Dedup.bandKeys(dupCorpus(s, dir), "doc_id", "text", None)
+        .localCheckpoint(true))
+
+  private def dupClusterLabelsUncached(s: SparkSession, dir: String): DataFrame = {
+    val keyed = dupBandKeys(s, dir)
+    val edges = graft.pipeline.Dedup.starEdges(keyed).localCheckpoint(false)
+    graft.pipeline.Dedup.connectedComponents(
+      keyed.select(col("id")).distinct(), edges)
+  }
 
   /** Curated (deduplicated) corpus materialized ONCE per (session, sfDir)
     * through the committed-table pipeline — q62 queries the kept table the
@@ -796,7 +838,7 @@ object Queries {
     // "What's wrong" #5). The oracle mirrors the gate in lock-step.
     Q("q31_ngram_jaccard",
       (s, dir) => {
-        val d = dupCorpus(s, dir)
+        val d = dupCorpusSpread(s, dir)
           .withColumn("wrd", split(col("text"), " "))
           .filter(size(col("wrd")) >= 3)
           .withColumn("shingles", array_distinct(expr(
@@ -860,7 +902,7 @@ object Queries {
     // — 8 separate parquet scans; VERDICT "What's wrong" #2)
     Q("q32_minhash_lsh",
       (s, dir) => {
-        val d = dupCorpus(s, dir)
+        val d = dupCorpusSpread(s, dir)
           .withColumn("w", array_distinct(split(col("text"), " ")))
         val withSig = (0 until 8).foldLeft(d) { (df, k) =>
           df.withColumn(s"m$k", expr(
@@ -1110,10 +1152,20 @@ object Queries {
     // encodings are free to differ per dialect.
     Q("q67_canonical_dedup",
       (s, dir) => {
-        val corpus = dupCorpus(s, dir).withColumn("canon",
-          when(pmod(col("doc_id"), lit(37)) < 3,
-            concat(lit("https://site.example/c"), expr("doc_id div 37"))))
-        graft.pipeline.Dedup.clusterLabels(corpus, "doc_id", "text", Some("canon"))
+        // r6: content band keys come from the shared session band-key
+        // table (identical rows to what Dedup.bandKeys(corpus, ...,
+        // Some("canon")) computed — a canonical key is just one more band,
+        // unioned below) instead of re-running the whole minhash pass
+        val canon = when(pmod(col("doc_id"), lit(37)) < 3,
+          concat(lit("https://site.example/c"), expr("doc_id div 37")))
+        val canonKeys = dupCorpus(s, dir).withColumn("canon", canon)
+          .filter(col("canon").isNotNull && trim(col("canon")) =!= "")
+          .select(col("doc_id").as("id"),
+            concat(lit("canon:"), trim(col("canon"))).as("band"))
+        val keyed = dupBandKeys(s, dir).unionByName(canonKeys)
+        val edges = graft.pipeline.Dedup.starEdges(keyed).localCheckpoint(false)
+        graft.pipeline.Dedup.connectedComponents(
+            keyed.select(col("id")).distinct(), edges)
           .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       },
@@ -1201,7 +1253,7 @@ object Queries {
           .filter(size(col("wrd")) >= 13)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(wrd)-13), i -> concat_ws(' ', slice(wrd, i+1, 13)))")).as("g"))
-        val corpus = dupCorpus(s, dir)
+        val corpus = dupCorpusSpread(s, dir)
         val bench = broadcast(
           grams(corpus.filter(col("doc_id") < 5)).select(col("g")).distinct())
         val flagged = grams(corpus)
@@ -1367,7 +1419,7 @@ object Queries {
         // the old expression was O(len²) per document (≈2 s/pass at sf0.1,
         // and this query ran the pass three times). Same trigram strings:
         // both split('') and substring count code points.
-        val grams = t(s, dir, "documents")
+        val grams = spread(t(s, dir, "documents"))
           .withColumn("tt", lower(concat(col("text"), marker)))
           .filter(length(col("tt")) >= 3)
           .withColumn("ch", split(col("tt"), ""))
@@ -1975,7 +2027,7 @@ object Queries {
     // global sort anywhere.
     Q("q87_substring_dedup",
       (s, dir) => {
-        val win = dupCorpus(s, dir)
+        val win = dupCorpusSpread(s, dir)
           .withColumn("wrd", split(col("text"), " "))
           .filter(size(col("wrd")) >= 10)
           .withColumn("nw", size(col("wrd")))
