@@ -1023,6 +1023,12 @@ object Queries {
         val e = t(s, dir, "embeddings")
           .withColumn("v", expr("transform(embedding, x -> cast(x AS DOUBLE))"))
           .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+          // r6: pinned partitioned by the bucket key — the pair self-join
+          // below is then co-partitioned (no exchange) and its per-pair
+          // dot products run across the label tasks instead of on the
+          // single-split scan (the q120 discipline)
+          .repartition(col("label"))
+          .localCheckpoint(true)
         val a = e.select(col("label"), col("vec_id").as("ida"), col("v").as("va"),
           col("nrm").as("na"))
         val b = e.select(col("label"), col("vec_id").as("idb"), col("v").as("vb"),
@@ -3561,8 +3567,12 @@ object Queries {
         // corpus scale a persisted list table, as q102 persists its index)
         val lists = graft.pipeline.Ivf.assign(vecs, centroids)
           // r6: norms pinned WITH the list table — computed once per
-          // vector, not twice per intra-cluster pair (bit-identical)
+          // vector, not twice per intra-cluster pair (bit-identical);
+          // pinned PARTITIONED BY the cluster id so the pair self-join is
+          // co-partitioned (no exchange) and the per-pair dot products run
+          // across the cluster tasks instead of on the 1-split scan
           .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc,x) -> acc + x*x))"))
+          .repartition(col("cluster"))
           .localCheckpoint(true)
         val a = lists.select(col("cluster"), col("vec_id").as("ida"), col("v").as("va"),
           col("nrm").as("na"))

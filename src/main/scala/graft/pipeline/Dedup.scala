@@ -174,34 +174,41 @@ object Dedup {
     var prev = checksum(labels)
     var iter = 0
     var done = false
-    while (!done && iter < maxIters) {
-      // POINTER JUMP first (r6): comp' = comp(comp), reading the previous
-      // round's pinned labels twice (cache hits, no recompute). Labels are
-      // always vertex ids, so the self-join resolves every row; the left
-      // join + coalesce keeps a missing target (impossible by
-      // construction) at its own label rather than dropping the row.
-      // Jump + hop per round turns O(diameter) rounds into O(log diameter)
-      // — same monotone non-increasing labels, same min-reachable-id
-      // fixpoint, so the result is identical row-for-row.
-      val l2 = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
-      def jump(df: DataFrame): DataFrame =
-        df.join(l2, df("comp") === l2("jid"), "left")
-          .select(df("id"), coalesce(col("jcomp"), df("comp")).as("comp"))
-      // pinned (lazily): the hop below reads `jumped` on both its join and
-      // union branches — one computation, shared blocks. (A second jump per
-      // round was measured round-neutral — labels are already compressed
-      // against the information available — so one jump is the sweet spot.)
-      val jumped = cp(jump(labels))
+    // r6: convergence is checked every TWO propagation rounds — both
+    // rounds' lazy pins materialize inside the single checksum job, so
+    // the loop pays half the job boundaries. Monotonicity is unchanged
+    // (the checksum still strictly decreases until the fixpoint); at most
+    // one already-converged round of extra propagation runs, which is a
+    // data no-op.
+    // POINTER JUMP first: comp' = comp(comp), reading the previous
+    // round's pinned labels twice (cache hits, no recompute). Labels are
+    // always vertex ids, so the self-join resolves every row; the left
+    // join + coalesce keeps a missing target (impossible by construction)
+    // at its own label rather than dropping the row. Jump + hop per round
+    // turns O(diameter) rounds into O(log diameter) — same monotone
+    // non-increasing labels, same min-reachable-id fixpoint, so the
+    // result is identical row-for-row.
+    def round(in: DataFrame): DataFrame = {
+      val l2 = in.select(col("id").as("jid"), col("comp").as("jcomp"))
+      // pinned (lazily): the hop reads `jumped` on both its join and
+      // union branches — one computation, shared blocks. (A second jump
+      // per round was measured round-neutral — labels are already
+      // compressed against the information available.)
+      val jumped = cp(in.join(l2, in("comp") === l2("jid"), "left")
+        .select(in("id"), coalesce(col("jcomp"), in("comp")).as("comp")))
       // checkpoint per round: an iterative DataFrame loop must truncate
       // lineage or round k re-executes rounds 1..k-1
-      labels = cp(edges.join(jumped, edges("src") === jumped("id"))
+      cp(edges.join(jumped, edges("src") === jumped("id"))
         .select(col("dst").as("id"), col("comp"))
         .unionByName(jumped)
         .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+    }
+    while (!done && iter < maxIters) {
+      labels = round(round(labels))
       val s = checksum(labels)
       done = s.compareTo(prev) == 0
       prev = s
-      iter += 1
+      iter += 2
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged in $iter rounds")

@@ -49,7 +49,12 @@ object WarcDedup {
   def classify(pages: Dataset[_]): DataFrame = {
     val keyed = pages.toDF()
       .withColumn("__digest", sha1(coalesce(col("html"), lit(Array.emptyByteArray))))
+    // r6: the thin projection is pinned — the digest aggregation and the
+    // decision join both read it, and without the pin each re-ran the
+    // sha1-over-bodies pass; pinning the THIN rows (never the bodies)
+    // keeps this safe at archive scale
     val thin = keyed.select(col("__digest"), col("warc_ts"), col("url"))
+      .localCheckpoint(true)
     val firsts = thin
       .groupBy(col("__digest"))
       .agg(min(struct(col("warc_ts"), col("url"))).as("__f"))
